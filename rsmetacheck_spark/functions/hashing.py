@@ -1,0 +1,95 @@
+"""Cross-engine-portable hashing primitives for dedup/fingerprinting.
+
+Everything is built on md5-of-string -> lowercase hex, which Spark and
+DuckDB compute identically — so every dedup operator here has an exact
+ANSI-SQL oracle (the driver's DuckDB correctness gate). xxhash64/murmur are
+Spark-private and deliberately avoided in result-bearing columns; they are
+still fine for *internal* salting (thresholds.N_SALT) where the value never
+reaches output.
+
+Scale note: minhash signatures are fixed-width (NUM_HASHES small strings)
+per doc — the LSH band shuffle moves (band_key, doc_id) pairs only, never
+document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NUM_HASHES = 16     # minhash permutations
+NUM_BANDS = 4       # LSH bands (rows per band = NUM_HASHES // NUM_BANDS)
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+SHINGLE_N = 3       # word-shingle width
+SIMHASH_BITS = 64   # first 16 hex chars of md5
+
+
+def tokens(text: Column) -> Column:
+    """Canonical tokenization (same as perplexity.tokenize / rules.tokens)."""
+    return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+
+
+def shingles(toks: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-grams as strings."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size({_name(toks)}) - {n - 1}, 0)),"
+            f" i -> concat_ws(' ', slice({_name(toks)}, i, {n})))"
+        )
+    )
+
+
+def _name(col: Column) -> str:
+    # helper used only with plain named columns (F.col("x"))
+    s = str(col)
+    # Column<'x'> -> x
+    return s.split("'")[1]
+
+
+def minhash_sig(shingle_col: str, num_hashes: int = NUM_HASHES) -> Column:
+    """array<string> minhash signature: sig[i] = min(md5(i || '|' || s))."""
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}),"
+        f" i -> array_min(transform({shingle_col},"
+        f"   s -> md5(concat(cast(i as string), '|', s)))))"
+    )
+
+
+def band_keys(sig_col: str, num_bands: int = NUM_BANDS,
+              rows: int = ROWS_PER_BAND) -> Column:
+    """array<struct<band:int, key:string>> of LSH band bucket keys."""
+    return F.expr(
+        f"transform(sequence(0, {num_bands - 1}),"
+        f" b -> struct(b as band,"
+        f"   md5(concat_ws('|', slice({sig_col}, b * {rows} + 1, {rows}))) as key))"
+    )
+
+
+def simhash_hex(toks_col: str, bits: int = SIMHASH_BITS) -> Column:
+    """64-bit SimHash as a 16-char hex string, from per-token md5 bits.
+
+    Bit b of token t = (hexdigit(md5(t), b//4) >> (3 - b%4)) & 1, where
+    hexdigit is decoded via strpos over '0123456789abcdef' — portable to
+    DuckDB verbatim. Document bit = majority vote over distinct tokens.
+    """
+    # per-token 64-bit vector as array of ±1, summed over tokens, then sign
+    return F.expr(
+        f"""
+        concat_ws('', transform(sequence(0, {bits // 4 - 1}), nib ->
+          substr('0123456789abcdef',
+            1 + aggregate(sequence(0, 3), 0, (acc, bit) ->
+              acc + (case when (
+                aggregate(array_distinct({toks_col}), 0, (s, t) ->
+                  s + (case when
+                    ((strpos('0123456789abcdef',
+                       substr(md5(t), nib + 1, 1)) - 1) div
+                     (case bit when 0 then 8 when 1 then 4 when 2 then 2 else 1 end))
+                    % 2 = 1
+                  then 1 else -1 end)
+                ) > 0
+              ) then (case bit when 0 then 8 when 1 then 4 when 2 then 2 else 1 end)
+              else 0 end)
+            ), 1)
+        ))
+        """
+    )

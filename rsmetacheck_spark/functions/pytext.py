@@ -1,0 +1,65 @@
+"""Pure-Python per-document text statistics, shared by the fused Arrow
+model stage AND the pandas oracle (one formula module — the reference's
+divergent-duplicate lesson, SURVEY.md §7 risk list).
+
+Why Python and not Column HOFs for these: Spark higher-order functions
+(filter/transform/aggregate lambdas) are interpreted per array element —
+the slow path. A fused Arrow pass already holds the text in Python; token
+stats cost ~100µs/doc here vs ~ms/doc as interpreted HOF trees. The
+codegen-friendly rules (substring/regex/threshold compares) stay native in
+operators/rules.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .. import thresholds as TH
+
+_TOK_RE = re.compile(r"[^a-z0-9]+")
+_ALNUM_RE = re.compile(r"[^a-z0-9]")
+_STOPSET = frozenset(TH.STOPWORD_UNION)
+
+STATS_FIELDS = (
+    ("n_words", "int"),
+    ("n_tokens", "int"),
+    ("sym_ratio", "double"),
+    ("stop_frac", "double"),
+    ("mean_word_len", "double"),
+    ("dup_ngram_frac", "double"),
+    ("bullet_frac", "double"),
+    ("ellipsis_frac", "double"),
+)
+
+
+def text_stats(text: str) -> dict:
+    nw = len(text.split())
+    low = text.lower()
+    toks = [t for t in _TOK_RE.split(low) if t]
+    ntok = len(toks)
+    sym = sum(text.count(c) for c in TH.SYMBOL_CHARS)
+    n_stop = sum(1 for t in toks if t in _STOPSET)
+    alnum = len(_ALNUM_RE.sub("", low))
+    n = TH.DUP_NGRAM_N
+    n_ng = max(ntok - n + 1, 0)
+    if n_ng:
+        distinct = len({tuple(toks[i : i + n]) for i in range(n_ng)})
+        dup_frac = round(1.0 - distinct / n_ng, 6)
+    else:
+        dup_frac = 0.0
+    lns = text.split("\n")
+    n_lines = max(len(lns), 1)
+    return {
+        "n_words": nw,
+        "n_tokens": ntok,
+        "sym_ratio": round(sym / max(nw, 1), 6),
+        "stop_frac": round(n_stop / max(ntok, 1), 6),
+        "mean_word_len": round(alnum / max(ntok, 1), 6),
+        "dup_ngram_frac": dup_frac,
+        "bullet_frac": round(
+            sum(1 for l in lns if l.lstrip().startswith(("-", "*", "•"))) / n_lines, 6
+        ),
+        "ellipsis_frac": round(
+            sum(1 for l in lns if l.rstrip().endswith(("...", "…"))) / n_lines, 6
+        ),
+    }

@@ -1,0 +1,76 @@
+"""fastText-style character-trigram language identifier.
+
+A linear char-n-gram scorer with per-language trigram log-probabilities,
+trained deterministically at first use from the synth vocabulary (no
+external data). Runs as a lazily-initialized per-executor singleton inside
+the fused mapInPandas stage — the architectural slot of the reference's
+effectful per-row detectors (p008.py:84-168: per-row scoring with per-rule
+thresholds), minus the network.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+
+from .. import thresholds as TH
+
+_NORM_RE = re.compile(r"[^a-z ]+")
+_PREFIX_CHARS = 300  # score only the head — plenty for page-level langid
+_ALPHA = 0.1
+
+
+def _normalize(text: str) -> str:
+    return " " + _NORM_RE.sub(" ", text.lower()) + " "
+
+
+class LangIdModel:
+    def __init__(self) -> None:
+        from ..synth import CONTENT_WORDS, zz_corpus
+
+        corpora = {
+            lang: " ".join((TH.STOPWORDS[lang] + CONTENT_WORDS[lang]) * 3)
+            for lang in TH.KEEP_LANGS
+        }
+        corpora["zz"] = " ".join(zz_corpus())
+        self.langs = list(corpora)
+        self.tables: list[dict[str, float]] = []
+        self.fallback: list[float] = []
+        for lang in self.langs:
+            s = _normalize(corpora[lang])
+            counts: dict[str, int] = {}
+            for i in range(len(s) - 2):
+                g = s[i : i + 3]
+                counts[g] = counts.get(g, 0) + 1
+            total = sum(counts.values())
+            vocab = len(counts) + 1
+            denom = total + _ALPHA * vocab
+            self.tables.append(
+                {g: math.log((c + _ALPHA) / denom) for g, c in counts.items()}
+            )
+            self.fallback.append(math.log(_ALPHA / denom))
+
+    def predict(self, text: str) -> str:
+        s = _normalize(text[:_PREFIX_CHARS])
+        scores = [0.0] * len(self.langs)
+        for i in range(len(s) - 2):
+            g = s[i : i + 3]
+            for j, table in enumerate(self.tables):
+                scores[j] += table.get(g, self.fallback[j])
+        best = max(range(len(self.langs)), key=lambda j: (scores[j], -j))
+        return self.langs[best]
+
+    def predict_series(self, texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: self.predict(t if isinstance(t, str) else ""))
+
+
+_MODEL: LangIdModel | None = None
+
+
+def get_model() -> LangIdModel:
+    global _MODEL
+    if _MODEL is None:
+        _MODEL = LangIdModel()
+    return _MODEL

