@@ -1,0 +1,712 @@
+"""Oracle-checked query library: every entry is (Spark impl, DuckDB SQL).
+
+This is the engine's operator surface for the driver's correctness gate
+(__spark_entry__.queries / oracle_sql): relational operators (SURVEY.md
+§2.4-2.7 aggregates/joins/sorts/top-k), the quality-rule analogs over the
+`documents` table, and the training-data-pipeline operators (dedup family,
+similarity search, text analysis).
+
+Cross-engine determinism rules used throughout:
+ - float SUMs go through DECIMAL(18,4) (exact, order-independent), then
+   cast to double — Spark's parallel partial aggregation and DuckDB then
+   agree bit-for-bit;
+ - ratios are round(x, 6); percentages round(x, 2);
+ - hashing is md5-of-string (identical hex in both engines) — never
+   xxhash64/murmur in result-bearing columns;
+ - canonical tokenization: split lower(text) on '[^a-z0-9]+', drop empties;
+ - top-k always has a total order (metric desc, key asc);
+ - timestamps are emitted as 'yyyy-MM-dd HH:mm:ss' strings.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import thresholds as TH
+
+# Documents-table rule thresholds (word-soup docs are 10-99 tokens).
+DOC_MIN_TOKENS = 20
+DOC_MAX_TOKENS = 90
+DOC_MIN_STOP_FRAC = 0.04
+DOC_KEEP_LANGS = ("en", "de", "fr", "es")
+JACCARD_T = 0.2
+COSINE_PAIR_T = 0.45
+ANN_K = 10
+
+_TOKS_SPARK = "filter(split(lower({c}), '[^a-z0-9]+'), x -> x != '')"
+_TOKS_DUCK = "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in TH.STOPWORD_UNION)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dsum(col: str) -> F.Column:
+    """Order-independent float sum: through decimal, out as double."""
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Relational operators (TPC-H-ish; scans S1, filters F1-F5, aggs A1-A4,
+# joins §2.5, sort/top-k O1-O3)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1997-09-01 00:00:00").cast("timestamp")
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"),
+        _dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price",
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias("avg_price"),
+        "count_order",
+    )
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_Q02 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+def q03_topk_orders_per_priority(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_Q03 = """
+SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders) WHERE rk <= 3
+"""
+
+
+def q04_latest_event_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id", "event_id", "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+
+
+SQL_Q04 = """
+SELECT user_id, event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events) WHERE rk = 1
+"""
+
+
+def q05_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap (lag + conditional sum)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_Q05 = """
+SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM (SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events))
+GROUP BY user_id
+"""
+
+
+def q06_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch analog of the streaming
+    windowed count; SURVEY §2.9)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            _dsum("value").alias("sum_value"),
+        )
+    )
+
+
+SQL_Q06 = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality-rule analogs over `documents` (A1/A2 per-rule counts, A5 keep gate,
+# F6 language filter — the engine's verdict semantics, DuckDB-checkable)
+# ---------------------------------------------------------------------------
+
+
+def _doc_feats(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    return d.selectExpr(
+        "doc_id", "lang", "source",
+        f"size({toks}) AS n_tokens",
+        f"round(size(filter({toks}, t -> t IN ({_STOP_SQL}))) * 1.0"
+        f" / greatest(size({toks}), 1), 6) AS stop_frac",
+        f"round(length(regexp_replace(lower(text), '[^a-z0-9]', '')) * 1.0"
+        f" / greatest(size({toks}), 1), 6) AS mean_word_len",
+    )
+
+
+_DOC_FEATS_SQL = f"""
+  SELECT doc_id, lang, source,
+         len({_TOKS_DUCK.format(c='text')}) AS n_tokens,
+         ROUND(len(list_filter({_TOKS_DUCK.format(c='text')}, t -> t IN ({_STOP_SQL}))) * 1.0
+               / greatest(len({_TOKS_DUCK.format(c='text')}), 1), 6) AS stop_frac,
+         ROUND(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) * 1.0
+               / greatest(len({_TOKS_DUCK.format(c='text')}), 1), 6) AS mean_word_len
+  FROM documents
+"""
+
+
+def q07_doc_rule_hits(spark: SparkSession, sf: str) -> DataFrame:
+    f = _doc_feats(spark, sf)
+    agg = f.agg(
+        F.count("*").alias("total"),
+        F.sum(
+            ((F.col("n_tokens") < DOC_MIN_TOKENS) | (F.col("n_tokens") > DOC_MAX_TOKENS)).cast("long")
+        ).alias("h_len"),
+        F.sum((F.col("stop_frac") < DOC_MIN_STOP_FRAC).cast("long")).alias("h_stop"),
+        F.sum(
+            ((F.col("mean_word_len") < TH.MIN_MEAN_WORD_LEN) | (F.col("mean_word_len") > TH.MAX_MEAN_WORD_LEN)).cast("long")
+        ).alias("h_mwl"),
+        F.sum((~F.col("lang").isin(*DOC_KEEP_LANGS)).cast("long")).alias("h_lang"),
+    )
+    pairs = F.array(
+        F.struct(F.lit("doc_length").alias("rule"), F.col("h_len").alias("hits")),
+        F.struct(F.lit("stopword_fraction").alias("rule"), F.col("h_stop").alias("hits")),
+        F.struct(F.lit("mean_word_length").alias("rule"), F.col("h_mwl").alias("hits")),
+        F.struct(F.lit("langid").alias("rule"), F.col("h_lang").alias("hits")),
+    )
+    return (
+        agg.select(F.explode(pairs).alias("e"), "total")
+        .select(
+            F.col("e.rule").alias("rule"),
+            F.col("e.hits").alias("hits"),
+            F.round(100.0 * F.col("e.hits") / F.col("total"), 2).alias("pct"),
+        )
+    )
+
+
+SQL_Q07 = f"""
+WITH f AS ({_DOC_FEATS_SQL}),
+a AS (SELECT COUNT(*) AS total,
+             SUM(CASE WHEN n_tokens < {DOC_MIN_TOKENS} OR n_tokens > {DOC_MAX_TOKENS} THEN 1 ELSE 0 END) AS h_len,
+             SUM(CASE WHEN stop_frac < {DOC_MIN_STOP_FRAC} THEN 1 ELSE 0 END) AS h_stop,
+             SUM(CASE WHEN mean_word_len < {TH.MIN_MEAN_WORD_LEN} OR mean_word_len > {TH.MAX_MEAN_WORD_LEN} THEN 1 ELSE 0 END) AS h_mwl,
+             SUM(CASE WHEN lang NOT IN {DOC_KEEP_LANGS!r} THEN 1 ELSE 0 END) AS h_lang
+      FROM f)
+SELECT 'doc_length' AS rule, h_len AS hits, ROUND(100.0 * h_len / total, 2) AS pct FROM a
+UNION ALL SELECT 'stopword_fraction', h_stop, ROUND(100.0 * h_stop / total, 2) FROM a
+UNION ALL SELECT 'mean_word_length', h_mwl, ROUND(100.0 * h_mwl / total, 2) FROM a
+UNION ALL SELECT 'langid', h_lang, ROUND(100.0 * h_lang / total, 2) FROM a
+"""
+
+
+def q08_keep_rate_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    f = _doc_feats(spark, sf)
+    keep = (
+        F.col("lang").isin(*DOC_KEEP_LANGS)
+        & (F.col("n_tokens") >= DOC_MIN_TOKENS)
+        & (F.col("n_tokens") <= DOC_MAX_TOKENS)
+        & (F.col("stop_frac") >= DOC_MIN_STOP_FRAC)
+    )
+    return (
+        f.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(keep.cast("long")).alias("n_keep"),
+        )
+        .withColumn("keep_pct", F.round(100.0 * F.col("n_keep") / F.col("n_docs"), 2))
+    )
+
+
+SQL_Q08 = f"""
+WITH f AS ({_DOC_FEATS_SQL})
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(CASE WHEN lang IN {DOC_KEEP_LANGS!r}
+                 AND n_tokens BETWEEN {DOC_MIN_TOKENS} AND {DOC_MAX_TOKENS}
+                 AND stop_frac >= {DOC_MIN_STOP_FRAC} THEN 1 ELSE 0 END) AS n_keep,
+       ROUND(100.0 * SUM(CASE WHEN lang IN {DOC_KEEP_LANGS!r}
+                 AND n_tokens BETWEEN {DOC_MIN_TOKENS} AND {DOC_MAX_TOKENS}
+                 AND stop_frac >= {DOC_MIN_STOP_FRAC} THEN 1 ELSE 0 END) / COUNT(*), 2) AS keep_pct
+FROM f GROUP BY lang
+"""
+
+
+_LANGID_CASE = (
+    "CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en > 0 THEN 'en' "
+    "WHEN c_de >= c_fr AND c_de >= c_es AND c_de > 0 THEN 'de' "
+    "WHEN c_fr >= c_es AND c_fr > 0 THEN 'fr' "
+    "WHEN c_es > 0 THEN 'es' ELSE 'und' END AS pred"
+)
+
+
+def _langid_vote_cols(dialect: str) -> list[str]:
+    out = []
+    for lang in ("en", "de", "fr", "es"):
+        words = ", ".join(f"'{w}'" for w in TH.STOPWORDS[lang])
+        if dialect == "spark":
+            toks = _TOKS_SPARK.format(c="text")
+            out.append(f"size(filter({toks}, t -> t IN ({words}))) AS c_{lang}")
+        else:
+            toks = _TOKS_DUCK.format(c="text")
+            out.append(f"len(list_filter({toks}, t -> t IN ({words}))) AS c_{lang}")
+    return out
+
+
+def q09_langid_vote(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-vote language ID (F6 language filter/normalize analog,
+    pitfall_utils.py:6-39) — SQL-expressible variant of the pipeline's
+    char-trigram model."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.selectExpr("lang", *_langid_vote_cols("spark"))
+        .selectExpr("lang", _LANGID_CASE)
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _sql_q09() -> str:
+    counts = ", ".join(_langid_vote_cols("duck"))
+    return f"""
+SELECT lang, pred, COUNT(*) AS n FROM (
+  SELECT lang, {_LANGID_CASE} FROM (SELECT lang, {counts} FROM documents))
+GROUP BY lang, pred
+"""
+
+
+def q10_token_stats_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    f = _doc_feats(spark, sf)
+    return f.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.sum("n_tokens") / F.count("*"), 6).alias("avg_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+SQL_Q10 = f"""
+WITH f AS ({_DOC_FEATS_SQL})
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(SUM(n_tokens) * 1.0 / COUNT(*), 6) AS avg_tokens, MAX(n_tokens) AS max_tokens
+FROM f GROUP BY source
+"""
+
+
+def q11_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    ng = (
+        f"transform(sequence(1, greatest(size({toks}) - 2, 0)),"
+        f" i -> concat_ws(' ', slice({toks}, i, 3)))"
+    )
+    return (
+        d.selectExpr(f"explode({ng}) AS ngram")
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(10)
+    )
+
+
+SQL_Q11 = f"""
+SELECT ngram, COUNT(*) AS n FROM (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                i -> array_to_string(t[i:i+2], ' '))) AS ngram
+  FROM (SELECT {_TOKS_DUCK.format(c='text')} AS t FROM documents))
+GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 10
+"""
+
+
+def q12_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint: md5 of the first 8 canonical tokens."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 20)
+    toks = _TOKS_SPARK.format(c="text")
+    return d.selectExpr(
+        "doc_id", f"md5(concat_ws(' ', slice({toks}, 1, 8))) AS fp"
+    )
+
+
+SQL_Q12 = f"""
+SELECT doc_id, md5(array_to_string({_TOKS_DUCK.format(c='text')}[1:8], ' ')) AS fp
+FROM documents WHERE doc_id < 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (exact, minhash LSH, n-gram jaccard, simhash) + similarity
+# ---------------------------------------------------------------------------
+
+
+def dd01_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup group table: hash of normalized text -> group size +
+    representative (min doc_id). Scale path: one hash-partitioned groupBy."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.md5(F.lower(F.trim("text"))).alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+SQL_DD01 = """
+SELECT md5(lower(trim(text))) AS text_md5, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+_SHINGLES_SPARK = (
+    "array_distinct(transform(sequence(1, greatest(size({t}) - 2, 0)),"
+    " i -> concat_ws(' ', slice({t}, i, 3))))"
+)
+_SHINGLES_DUCK = (
+    "list_distinct(list_transform(generate_series(1, greatest(len({t}) - 2, 0)),"
+    " i -> array_to_string({t}[i:i+2], ' ')))"
+)
+
+
+def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup candidate pairs via MinHash+LSH banding, verified by exact
+    Jaccard >= t. Shuffle story at scale: docs->signatures is map-only;
+    the band-bucket self-join shuffles (band_key, doc_id) pairs only;
+    Jaccard verification joins shingle sets back by doc_id (co-partitioned
+    equi-joins), never a full cross product."""
+    from .functions.hashing import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND
+
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    sh = d.selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t=toks)} AS sh")
+    sig = sh.selectExpr(
+        "doc_id", "sh",
+        f"transform(sequence(0, {NUM_HASHES - 1}),"
+        f" i -> array_min(transform(sh, s -> md5(concat(cast(i AS string), '|', s))))) AS sig",
+    )
+    bands = sig.selectExpr(
+        "doc_id",
+        f"explode(transform(sequence(0, {NUM_BANDS - 1}),"
+        f" b -> concat(cast(b AS string), ':',"
+        f" md5(concat_ws('|', slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}))))))"
+        " AS band_key",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.selectExpr("doc_id AS id_a", "sh AS sh_a")
+    sb = sh.selectExpr("doc_id AS id_b", "sh AS sh_b")
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .selectExpr(
+            "id_a", "id_b",
+            "round(size(array_intersect(sh_a, sh_b)) * 1.0"
+            " / size(array_distinct(concat(sh_a, sh_b))), 6) AS jaccard",
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def _sql_dd02() -> str:
+    from .functions.hashing import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND
+
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK.format(t=t)} AS sh FROM documents),
+sig AS (
+  SELECT doc_id, sh,
+         list_transform(generate_series(0, {NUM_HASHES - 1}),
+           i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+  FROM sh),
+bands AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, {NUM_BANDS - 1}),
+           b -> CAST(b AS VARCHAR) || ':' ||
+                md5(array_to_string(sig[b * {ROWS_PER_BAND} + 1 : b * {ROWS_PER_BAND} + {ROWS_PER_BAND}], '|')))) AS band_key
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       ROUND(len(list_intersect(sa.sh, sb.sh)) * 1.0
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand JOIN sh sa ON cand.id_a = sa.doc_id JOIN sh sb ON cand.id_b = sb.doc_id
+WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {JACCARD_T}
+"""
+
+
+def dd03_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted shingle index
+    (groupBy shingle -> co-occurring docs), not an all-pairs product.
+    At scale the hot-shingle skew is bounded by dropping shingles with
+    document frequency > 100 (stopword-shingle guard)."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    sh = d.selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t=toks)} AS sh")
+    sh.cache()
+    inv = sh.selectExpr("doc_id", "explode(sh) AS s")
+    freq = inv.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= 100)
+    inv = inv.join(F.broadcast(freq.select("s")), "s")
+    a, b = inv.alias("a"), inv.alias("b")
+    overlap = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.selectExpr("doc_id", "size(sh) AS n_sh")
+    return (
+        overlap
+        .join(sizes.selectExpr("doc_id AS id_a", "n_sh AS n_a"), "id_a")
+        .join(sizes.selectExpr("doc_id AS id_b", "n_sh AS n_b"), "id_b")
+        .selectExpr(
+            "id_a", "id_b",
+            "round(inter * 1.0 / (n_a + n_b - inter), 6) AS jaccard",
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def _sql_dd03() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES_DUCK.format(t=t)} AS sh FROM documents),
+inv0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+freq AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) <= 100),
+inv AS (SELECT doc_id, s FROM inv0 JOIN freq USING (s)),
+overlap AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
+SELECT id_a, id_b, ROUND(inter * 1.0 / (na.n_sh + nb.n_sh - inter), 6) AS jaccard
+FROM overlap JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
+WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= {JACCARD_T}
+"""
+
+
+_HEXDIG = "0123456789abcdef"
+
+
+def dd04_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit SimHash per document (first 16 md5 hex nibbles of each
+    distinct token, majority vote per bit), emitted as hex for doc_id<30."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 30)
+    toks = _TOKS_SPARK.format(c="text")
+    bitw = "(CASE bit WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)"
+    vote = (
+        f"aggregate(array_distinct({toks}), 0, (s, t) -> s + (CASE WHEN "
+        f"((instr('{_HEXDIG}', substring(md5(t), nib + 1, 1)) - 1) div {bitw}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END))"
+    )
+    nibble = (
+        f"aggregate(sequence(0, 3), 0, (acc, bit) -> "
+        f"acc + (CASE WHEN ({vote}) > 0 THEN {bitw} ELSE 0 END))"
+    )
+    expr = (
+        f"concat_ws('', transform(sequence(0, 15), nib -> "
+        f"substring('{_HEXDIG}', 1 + {nibble}, 1)))"
+    )
+    return d.selectExpr("doc_id", f"{expr} AS simhash")
+
+
+def _sql_dd04() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+SELECT doc_id,
+  array_to_string(list_transform(generate_series(0, 15), nib ->
+    substring('{_HEXDIG}',
+      CAST(1 + list_sum(list_transform(generate_series(0, 3), bit ->
+        CASE WHEN (
+          list_sum(list_transform(list_distinct({t}), tk ->
+            CASE WHEN
+              ((strpos('{_HEXDIG}', substring(md5(tk), CAST(nib AS INTEGER) + 1, 1)) - 1)
+               // (CASE bit WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END))
+              % 2 = 1
+            THEN 1 ELSE -1 END)) > 0)
+        THEN (CASE bit WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)
+        ELSE 0 END)) AS INTEGER), 1)), '') AS simhash
+FROM documents WHERE doc_id < 30
+"""
+
+
+def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Test-scale: brute force with a
+    label-blocked join would be the scale path; here labels ARE the blocks
+    (pairs across labels can't clear the threshold in this data)."""
+    e = _t(spark, sf, "embeddings").selectExpr(
+        "vec_id", "label", "transform(embedding, x -> CAST(x AS double)) AS v"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS double), (acc, x) -> acc + x)"
+    na = "sqrt(aggregate(transform(a.v, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
+    nb = "sqrt(aggregate(transform(b.v, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .selectExpr(
+            "a.vec_id AS id_a", "b.vec_id AS id_b",
+            f"round({dot} / ({na} * {nb}), 6) AS cos_sim",
+        )
+        .filter(F.col("cos_sim") >= COSINE_PAIR_T)
+    )
+
+
+SQL_DD05 = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {COSINE_PAIR_T}
+"""
+
+
+def sim01_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k for the query vector (vec_id=0)."""
+    e = _t(spark, sf, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS double)) AS v"
+    )
+    q = e.filter(F.col("vec_id") == 0).selectExpr("v AS qv")
+    dot = "aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0 AS double), (acc, x) -> acc + x)"
+    nv = "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
+    nq = "sqrt(aggregate(transform(qv, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .selectExpr("vec_id", f"round({dot} / ({nv} * {nq}), 6) AS cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(ANN_K)
+    )
+
+
+SQL_SIM01 = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+FROM e, q WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC LIMIT {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
+    "q02_revenue_by_nation": (q02_revenue_by_nation, SQL_Q02),
+    "q03_topk_orders_per_priority": (q03_topk_orders_per_priority, SQL_Q03),
+    "q04_latest_event_per_user": (q04_latest_event_per_user, SQL_Q04),
+    "q05_sessionize": (q05_sessionize, SQL_Q05),
+    "q06_events_hourly": (q06_events_hourly, SQL_Q06),
+    "q07_doc_rule_hits": (q07_doc_rule_hits, SQL_Q07),
+    "q08_keep_rate_by_lang": (q08_keep_rate_by_lang, SQL_Q08),
+    "q09_langid_vote": (q09_langid_vote, _sql_q09()),
+    "q10_token_stats_by_source": (q10_token_stats_by_source, SQL_Q10),
+    "q11_top_ngrams": (q11_top_ngrams, SQL_Q11),
+    "q12_fingerprints": (q12_fingerprints, SQL_Q12),
+    "dd01_exact_groups": (dd01_exact_groups, SQL_DD01),
+    "dd02_minhash_lsh_pairs": (dd02_minhash_lsh_pairs, _sql_dd02()),
+    "dd03_jaccard_pairs": (dd03_jaccard_pairs, _sql_dd03()),
+    "dd04_simhash": (dd04_simhash, _sql_dd04()),
+    "dd05_embedding_pairs": (dd05_embedding_pairs, SQL_DD05),
+    "sim01_ann_topk": (sim01_ann_topk, SQL_SIM01),
+}
