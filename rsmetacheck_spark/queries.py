@@ -387,12 +387,16 @@ FROM f GROUP BY source
 def q11_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
+    # materialize tokens as a column first: inlining `toks` into the
+    # transform lambda would re-run the regex split once per n-gram element
+    # (observed 10x slowdown at sf0.1)
+    t = d.selectExpr(f"{toks} AS t")
     ng = (
-        f"transform(sequence(1, greatest(size({toks}) - 2, 0)),"
-        f" i -> concat_ws(' ', slice({toks}, i, 3)))"
+        "transform(sequence(1, greatest(size(t) - 2, 0)),"
+        " i -> concat_ws(' ', slice(t, i, 3)))"
     )
     return (
-        d.selectExpr(f"explode({ng}) AS ngram")
+        t.selectExpr(f"explode({ng}) AS ngram")
         .groupBy("ngram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("ngram").asc())
@@ -466,7 +470,16 @@ def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
-    sh = d.selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t=toks)} AS sh")
+    # cache the shingle sets and band keys: both feed two plan branches
+    # (self-join sides + jaccard verify); without the cache the md5
+    # signature work re-executes once per branch. Tokens are materialized
+    # as a column first so the shingle lambda doesn't re-run the regex
+    # split per element.
+    sh = (
+        d.selectExpr("doc_id", f"{toks} AS t")
+        .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
+        .cache()
+    )
     sig = sh.selectExpr(
         "doc_id", "sh",
         f"transform(sequence(0, {NUM_HASHES - 1}),"
@@ -478,7 +491,7 @@ def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         f" b -> concat(cast(b AS string), ':',"
         f" md5(concat_ws('|', slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}))))))"
         " AS band_key",
-    )
+    ).cache()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
@@ -536,7 +549,10 @@ def dd03_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     document frequency > 100 (stopword-shingle guard)."""
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
-    sh = d.selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t=toks)} AS sh")
+    sh = (
+        d.selectExpr("doc_id", f"{toks} AS t")
+        .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
+    )
     sh.cache()
     inv = sh.selectExpr("doc_id", "explode(sh) AS s")
     freq = inv.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= 100)
@@ -586,9 +602,10 @@ def dd04_simhash(spark: SparkSession, sf: str) -> DataFrame:
     distinct token, majority vote per bit), emitted as hex for doc_id<30."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 30)
     toks = _TOKS_SPARK.format(c="text")
+    d = d.selectExpr("doc_id", f"array_distinct({toks}) AS dtoks")
     bitw = "(CASE bit WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)"
     vote = (
-        f"aggregate(array_distinct({toks}), 0, (s, t) -> s + (CASE WHEN "
+        "aggregate(dtoks, 0, (s, t) -> s + (CASE WHEN "
         f"((instr('{_HEXDIG}', substring(md5(t), nib + 1, 1)) - 1) div {bitw}) % 2 = 1 "
         f"THEN 1 ELSE -1 END))"
     )

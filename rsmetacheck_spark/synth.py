@@ -242,6 +242,37 @@ def gen_pages(n_docs: int, seed: int = 42, with_class: bool = False) -> pd.DataF
     return df
 
 
+def spark_pages_parquet(
+    spark, n_docs: int, seed: int = 42, cache_dir: str | None = None,
+    partitions: int = 64,
+) -> str:
+    """Distributed generation of the same deterministic rows (gen_row is a
+    pure function of (seed, i), so Spark-parallel == pandas-serial). Cached
+    as parquet; returns the path."""
+    import pandas as _pd
+
+    cache_dir = cache_dir or os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"pages_n{n_docs}_s{seed}_spark.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_row(seed, int(i)) for i in pdf["id"]]
+            out = _pd.DataFrame(rows).drop(columns=["_class"])
+            yield out
+
+    (
+        spark.range(0, n_docs, 1, partitions)
+        .mapInPandas(gen, "url string, warc_ts timestamp, html binary, text string, lang string")
+        .write.mode("overwrite").parquet(path)
+    )
+    return path
+
+
 def pages_parquet(n_docs: int, seed: int = 42, cache_dir: str | None = None) -> str:
     """Materialize (cached) pages parquet; returns the file path."""
     cache_dir = cache_dir or os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache")
