@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed by Arrow-batched mapInPandas.
+
+The image/audio codecs are not in this container, so the DECODE step is
+stubbed (deterministic fake features behind `decode_stub`, and a
+NotImplementedError path for real codecs) — but everything Spark-side is
+real and tested: the schema contract, batch iteration, per-row error
+isolation (the reference's detector-loop semantics,
+detect_pitfalls_main.py:356-358), and the partition-parallel execution
+shape. Swapping `decode_stub` for PIL/librosa is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int"
+)
+
+FEATURE_COLS = (
+    "n_bytes int, sha1 string, mean_byte double, frame_count int, "
+    "feat_error string"
+)
+
+_REAL_CODECS = False  # flipped when PIL/librosa are present
+
+
+def decode_stub(payload: bytes, kind: str) -> dict:
+    """Deterministic fake decode: byte stats + a fake frame count.
+
+    A real deployment raises NotImplementedError here until the codec libs
+    ship; the Spark plumbing (schema, batching, error isolation) is
+    identical either way.
+    """
+    if _REAL_CODECS:  # pragma: no cover
+        raise NotImplementedError("real image/audio decode not available in sandbox")
+    if not isinstance(payload, (bytes, bytearray, memoryview)):
+        raise ValueError("payload must be binary")
+    b = bytes(payload)
+    if kind not in ("image", "audio", "video"):
+        raise ValueError(f"unknown media kind: {kind}")
+    return {
+        "n_bytes": len(b),
+        "sha1": hashlib.sha1(b).hexdigest(),
+        "mean_byte": round(sum(b) / len(b), 6) if b else 0.0,
+        "frame_count": 1 if kind == "image" else max(len(b) // 256, 1),
+    }
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """media table -> features; Arrow batches, per-row error isolation."""
+    in_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "n_bytes": [0] * n, "sha1": [""] * n, "mean_byte": [0.0] * n,
+                "frame_count": [0] * n, "feat_error": [None] * n,
+            }
+            for i, (payload, kind) in enumerate(zip(pdf["payload"], pdf["kind"])):
+                try:
+                    feats = decode_stub(payload, kind)
+                    for k, v in feats.items():
+                        out[k][i] = v
+                except Exception as exc:
+                    out["feat_error"][i] = f"{type(exc).__name__}: {exc}"
+            for k, v in out.items():
+                pdf[k] = v
+            yield pdf.drop(columns=["payload"])
+
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields if f.name != "payload"
+        )
+        + ", " + FEATURE_COLS
+    )
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def synth_media(spark, n: int = 200, seed: int = 5) -> DataFrame:
+    """Deterministic fake media table (payload = seeded pseudo-bytes)."""
+    from pyspark.sql import functions as F
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = np.random.RandomState((seed * 99991 + int(i)) % (2**31 - 1))
+                kind = ("image", "audio", "video")[int(i) % 3]
+                size = int(rng.randint(64, 2048))
+                payload = rng.bytes(size)
+                rows.append(
+                    (int(i), kind, payload, int(rng.randint(8, 512)),
+                     int(rng.randint(8, 512)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "width", "height"]
+            )
+
+    return (
+        spark.range(0, n, 1, 8)
+        .mapInPandas(gen, MEDIA_SCHEMA)
+        .withColumn("kind", F.col("kind"))
+    )

@@ -701,6 +701,226 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT {ANN_K}
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path: candidate set = one hyperplane bucket,
+# not the full corpus) + multimodal feature plumbing (rows-only check)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(n_planes: int = 6, dim: int = 64, seed: int = 77):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).round(6).tolist()
+
+
+def _bucket_exprs(vcol: str) -> tuple[str, str]:
+    """(spark_expr, duck_expr) computing the sign-bucket string of vcol."""
+    planes = _hyperplanes()
+    s_parts, d_parts = [], []
+    for h in planes:
+        lit_s = "array(" + ", ".join(f"CAST({x} AS double)" for x in h) + ")"
+        lit_d = "[" + ", ".join(str(x) for x in h) + "]::DOUBLE[]"
+        s_parts.append(
+            f"(CASE WHEN aggregate(zip_with({vcol}, {lit_s}, (x, y) -> x * y),"
+            f" CAST(0 AS double), (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END)"
+        )
+        d_parts.append(
+            f"(CASE WHEN list_dot_product({vcol}, {lit_d}) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return "concat(" + ", ".join(s_parts) + ")", "concat(" + ", ".join(d_parts) + ")"
+
+
+def sim02_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 cosine neighbors of vec_id=0 WITHIN its hyperplane-LSH bucket.
+    At scale: bucket assignment is map-only; the search shuffles one bucket
+    (corpus/2^planes of the data) instead of broadcasting the corpus."""
+    b_spark, _ = _bucket_exprs("v")
+    e = _t(spark, sf, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS double)) AS v"
+    ).selectExpr("vec_id", "v", f"{b_spark} AS bkt")
+    q = e.filter(F.col("vec_id") == 0).selectExpr("v AS qv", "bkt AS qbkt")
+    dot = "aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0 AS double), (acc, x) -> acc + x)"
+    nv = "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
+    nq = "sqrt(aggregate(transform(qv, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
+    return (
+        e.join(F.broadcast(q), F.col("bkt") == F.col("qbkt"))
+        .filter(F.col("vec_id") != 0)
+        .selectExpr("vec_id", "bkt", f"round({dot} / ({nv} * {nq}), 6) AS cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+def _sql_sim02() -> str:
+    _, b_duck = _bucket_exprs("v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {b_duck} AS bkt FROM e),
+q AS (SELECT v AS qv, bkt AS qbkt FROM b WHERE vec_id = 0)
+SELECT vec_id, bkt,
+       ROUND(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+FROM b, q WHERE bkt = qbkt AND vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+"""
+
+
+def mm01_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing smoke: synth media -> mapInPandas features.
+    No SQL oracle (binary decode is engine-side); driver records rows-only."""
+    from .operators.multimodal import extract_features, synth_media
+
+    n = 500 if "0.1" in sf else 200
+    feats = extract_features(synth_media(spark, n=n))
+    return feats.select(
+        "media_id", "kind", "n_bytes", "sha1", "mean_byte", "frame_count"
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: semi-structured JSON (S3 scan shape), rollup grouping sets,
+# pivot (A3 shape), set operations (U-ops), as-of join (custom operator:
+# Spark lacks it -> composed as bounded join + lexicographic max;
+# oracle uses an independent window formulation)
+# ---------------------------------------------------------------------------
+
+
+def q13_props_json(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON property extraction from the string `props` column (the
+    reference's dynamic-JSON evidence parsing, S3/from_json shape)."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("k") / F.count("*"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_Q13 = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       ROUND(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) * 1.0 / COUNT(*), 6) AS avg_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q14_rollup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets over (lang, source) with doc + token totals."""
+    f = _doc_feats(spark, sf)
+    return f.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+SQL_Q14 = f"""
+WITH f AS ({_DOC_FEATS_SQL})
+SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM f GROUP BY ROLLUP (lang, source)
+"""
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q15_pivot_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot event counts per user into one column per event type."""
+    e = _t(spark, sf, "events")
+    aggs = [
+        F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
+        for t in _EVENT_TYPES
+    ]
+    return e.groupBy("user_id").agg(*aggs)
+
+
+SQL_Q15 = "SELECT user_id, " + ", ".join(
+    f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+    for t in _EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+def q16_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operations: purchasers EXCEPT error-affected, UNION'd with
+    (signups INTERSECT clickers), tagged by branch."""
+    e = _t(spark, sf, "events")
+
+    def users(t: str) -> DataFrame:
+        return e.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    a = users("purchase").exceptAll(users("error")).distinct()
+    b = users("signup").intersect(users("click"))
+    return (
+        a.withColumn("branch", F.lit("pure_purchasers"))
+        .unionByName(b.withColumn("branch", F.lit("signup_clickers")))
+    )
+
+
+SQL_Q16 = """
+SELECT user_id, 'pure_purchasers' AS branch FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+UNION ALL
+SELECT user_id, 'signup_clickers' AS branch FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+"""
+
+
+def q17_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY/guide custom-operator
+    slot): for each purchase event, the latest click of the SAME user
+    at-or-before the purchase. Composed as an equi-join on user + bounded
+    ts predicate + lexicographic max(struct(ts, event_id)) — deterministic
+    under ts ties; the only shuffle is the per-user equi-join."""
+    e = _t(spark, sf, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = p.join(c, (F.col("c_user") == F.col("p_user")) & (F.col("c_ts") <= F.col("p_ts")), "left")
+    return (
+        j.groupBy("purchase_id")
+        .agg(F.max(F.struct("c_ts", "c_id")).alias("m"))
+        .select(
+            "purchase_id",
+            F.col("m.c_id").alias("click_id"),
+            F.date_format("m.c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        )
+    )
+
+
+SQL_Q17 = """
+SELECT purchase_id, click_id, strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS click_ts FROM (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.ts AS c_ts,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rk
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON c.user_id = p.user_id AND c.ts <= p.ts) WHERE rk = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -726,4 +946,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dd04_simhash": (dd04_simhash, _sql_dd04()),
     "dd05_embedding_pairs": (dd05_embedding_pairs, SQL_DD05),
     "sim01_ann_topk": (sim01_ann_topk, SQL_SIM01),
+    "sim02_ann_lsh_topk": (sim02_ann_lsh_topk, _sql_sim02()),
+    "mm01_media_features": (mm01_media_features, None),
+    "q13_props_json": (q13_props_json, SQL_Q13),
+    "q14_rollup_docs": (q14_rollup_docs, SQL_Q14),
+    "q15_pivot_events": (q15_pivot_events, SQL_Q15),
+    "q16_setops": (q16_setops, SQL_Q16),
+    "q17_asof_join": (q17_asof_join, SQL_Q17),
 }

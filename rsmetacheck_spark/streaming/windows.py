@@ -1,0 +1,26 @@
+"""Structured Streaming windowed aggregation (SURVEY §2.9 notes the
+reference is batch-only; this module exists because the engine also serves
+event tables, and the batch q06_events_hourly has this exact semantics —
+the streaming variant is the incremental-refresh path for it).
+
+Watermarked tumbling-window counts over an events stream; tested by
+driving a parquet-backed stream to completion with processAllAvailable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_event_counts_stream(events_stream: DataFrame) -> DataFrame:
+    return (
+        events_stream
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+            "event_type", "n", "sum_value",
+        )
+    )
