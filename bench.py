@@ -116,7 +116,7 @@ def scaling_subprocess(cpus: int, sf_dir: str, n_docs: int) -> dict:
     small-N rate (a cluster executor owns exactly its cores)."""
     code = (
         "import json, sys; sys.path.insert(0, %r); import bench; "
-        "r = bench.single_run(%d, %r, %d, queries=False, warmup=True, reps=2); "
+        "r = bench.single_run(%d, %r, %d, queries=False, warmup=True, reps=1); "
         "print('@@' + json.dumps(r))"
         % (os.path.dirname(os.path.abspath(__file__)), cpus, sf_dir, n_docs)
     )
@@ -195,7 +195,16 @@ def main() -> None:
     }
     if args.scaling:
         sdocs = max(n_docs, 200_000)  # large enough that compute dominates
-        rates = {c: scaling_subprocess(c, args.sf_dir, sdocs) for c in (2, 8, 32)}
+        # two interleaved rounds per level, keep the best: the host shows
+        # minutes-scale background-load drift, and interleaving prevents a
+        # slow phase from biasing one level
+        rates: dict[int, dict] = {}
+        for _round in range(2):
+            for c in (2, 8, 32):
+                r = scaling_subprocess(c, args.sf_dir, sdocs)
+                if (c not in rates or r["pipeline"]["docs_per_sec"]
+                        > rates[c]["pipeline"]["docs_per_sec"]):
+                    rates[c] = r
         out["scaling"] = write_scaling_md(rates, sdocs)
     print(json.dumps(out))
 
