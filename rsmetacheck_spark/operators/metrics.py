@@ -60,6 +60,31 @@ def _rule_hit_sums() -> F.Column:
     return F.map_from_entries(F.array(*entries))
 
 
+def host_metrics_table(pages_out: DataFrame) -> DataFrame:
+    """Per-host keep stats with EXPLICIT skew salting (north_rule: "salting
+    hot hosts"): the synthetic corpus gives 3 hosts ~30% of all rows, so a
+    naive groupBy(host) sends a third of the table to 3 reducers. Phase 1
+    aggregates (host, salt) with salt = url-hash mod N_SALT — hot hosts
+    fan out across N_SALT reducers; phase 2 combines the <= N_SALT partial
+    rows per host. AQE skew handling stays on as backstop; this makes the
+    fan-out deterministic rather than reactive."""
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    salt = F.pmod(F.xxhash64("url"), F.lit(TH.N_SALT))
+    phase1 = (
+        pages_out
+        .groupBy(host.alias("host"), salt.alias("__salt"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("k"),
+        )
+    )
+    return (
+        phase1.groupBy("host")
+        .agg(F.sum("n").alias("n_docs"), F.sum("k").alias("n_kept"))
+        .withColumn("keep_pct", F.round(100.0 * F.col("n_kept") / F.col("n_docs"), 2))
+    )
+
+
 def lineage_table(pages_out: DataFrame, input_snapshot: str) -> DataFrame:
     """Per-partition lineage; partition = the deterministic url-hash bucket
     (the checkpoint/resume unit), not the ephemeral task partition id."""
