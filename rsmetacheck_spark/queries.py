@@ -921,6 +921,131 @@ SELECT purchase_id, click_id, strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS click_ts FR
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: IVF-style coarse quantization, composite quality score,
+# grouped applyInPandas (exact-median custom aggregate)
+# ---------------------------------------------------------------------------
+
+
+def q19_ivf_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse-quantizer step: per-label centroid + the assignment
+    residual summary. At scale: one partial-aggregated groupBy(label) over
+    element-wise vector sums (no shuffle of raw vectors beyond the partial
+    rows), then a broadcast join back for residuals."""
+    e = _t(spark, sf, "embeddings").selectExpr(
+        "vec_id", "label", "transform(embedding, x -> CAST(x AS double)) AS v"
+    )
+    # element-wise sum via aggregate over a zipped fold is per-row work;
+    # the groupBy uses posexplode -> (label, pos) partial sums (64 keys/label)
+    comp = e.selectExpr("label", "posexplode(v) AS (pos, x)")
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(F.sum(F.col("x").cast("decimal(28,10)")).alias("s"), F.count("*").alias("n"))
+        .selectExpr("label", "pos", "CAST(s / n AS double) AS c")
+    )
+    cent_vec = (
+        cent.groupBy("label")
+        .agg(F.map_from_entries(F.sort_array(F.collect_list(F.struct("pos", "c")))).alias("m"))
+        .selectExpr("label", "transform(sequence(0, 63), i -> m[i]) AS centroid")
+    )
+    j = e.join(F.broadcast(cent_vec), "label")
+    dist = (
+        "sqrt(aggregate(zip_with(v, centroid, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS double), (acc, x) -> acc + x))"
+    )
+    return (
+        j.selectExpr("label", f"{dist} AS d")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.sum(F.col("d").cast("decimal(28,10)")) / F.count("*"), 6)
+            .cast("double").alias("mean_dist"),
+        )
+    )
+
+
+SQL_Q19 = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+comp AS (SELECT label, gs.i - 1 AS pos, v[gs.i] AS x
+         FROM e, generate_series(1, 64) AS gs(i)),
+cent AS (SELECT label, pos, CAST(SUM(CAST(x AS DECIMAL(28,10))) / COUNT(*) AS DOUBLE) AS c
+         FROM comp GROUP BY label, pos),
+cv AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label),
+d AS (SELECT e.label,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> (v[i] - centroid[i]) * (v[i] - centroid[i])))) AS d
+      FROM e JOIN cv ON e.label = cv.label)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(ROUND(SUM(CAST(d AS DECIMAL(28,10))) / COUNT(*), 6) AS DOUBLE) AS mean_dist
+FROM d GROUP BY label
+"""
+
+
+def q20_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality score per document (weighted rule metrics),
+    top-20 by score with a total order."""
+    f = _doc_feats(spark, sf)
+    score = (
+        F.when(F.col("n_tokens").between(DOC_MIN_TOKENS, DOC_MAX_TOKENS), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(F.col("stop_frac") >= DOC_MIN_STOP_FRAC, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(F.col("mean_word_len").between(TH.MIN_MEAN_WORD_LEN, TH.MAX_MEAN_WORD_LEN), F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(F.col("lang").isin(*DOC_KEEP_LANGS), F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return (
+        f.select("doc_id", F.round(score, 2).alias("quality"))
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+SQL_Q20 = f"""
+WITH f AS ({_DOC_FEATS_SQL})
+SELECT doc_id,
+       ROUND((CASE WHEN n_tokens BETWEEN {DOC_MIN_TOKENS} AND {DOC_MAX_TOKENS} THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN stop_frac >= {DOC_MIN_STOP_FRAC} THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN mean_word_len BETWEEN {TH.MIN_MEAN_WORD_LEN} AND {TH.MAX_MEAN_WORD_LEN} THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN lang IN {DOC_KEEP_LANGS!r} THEN 0.1 ELSE 0.0 END), 2) AS quality
+FROM f ORDER BY quality DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q21_median_chars_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom grouped aggregate via applyInPandas (SURVEY §2.9 grouped-map
+    slot): exact lower-median of n_chars per source. Oracle uses an
+    independent window formulation (row_number at ceil(n/2))."""
+    import pandas as pd
+
+    d = _t(spark, sf, "documents").select("source", "n_chars")
+
+    def median_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["n_chars"].sort_values().to_numpy()
+        k = (len(v) + 1) // 2 - 1  # lower median, 0-indexed
+        return pd.DataFrame({
+            "source": [pdf["source"].iloc[0]],
+            "n_docs": [len(v)],
+            "median_chars": [int(v[k])],
+        })
+
+    return d.groupBy("source").applyInPandas(
+        median_group, "source string, n_docs long, median_chars long"
+    )
+
+
+SQL_Q21 = """
+SELECT source, COUNT(*) AS n_docs, MAX(med) AS median_chars FROM (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars)
+                   = (COUNT(*) OVER (PARTITION BY source) + 1) // 2
+              THEN n_chars END AS med
+  FROM documents)
+GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -953,4 +1078,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q15_pivot_events": (q15_pivot_events, SQL_Q15),
     "q16_setops": (q16_setops, SQL_Q16),
     "q17_asof_join": (q17_asof_join, SQL_Q17),
+    "q19_ivf_centroids": (q19_ivf_centroids, SQL_Q19),
+    "q20_quality_score": (q20_quality_score, SQL_Q20),
+    "q21_median_chars_by_source": (q21_median_chars_by_source, SQL_Q21),
 }
