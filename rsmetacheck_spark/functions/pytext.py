@@ -17,7 +17,6 @@ import re
 from .. import thresholds as TH
 
 _TOK_RE = re.compile(r"[^a-z0-9]+")
-_ALNUM_RE = re.compile(r"[^a-z0-9]")
 _STOPSET = frozenset(TH.STOPWORD_UNION)
 
 STATS_FIELDS = (
@@ -32,18 +31,26 @@ STATS_FIELDS = (
 )
 
 
+_SYM_RE = re.compile("[" + re.escape(TH.SYMBOL_CHARS) + "]")
+
+
 def text_stats(text: str) -> dict:
     nw = len(text.split())
     low = text.lower()
-    toks = [t for t in _TOK_RE.split(low) if t]
+    toks = _TOK_RE.split(low)
+    if toks and toks[0] == "":
+        toks = toks[1:]
+    if toks and toks[-1] == "":
+        toks = toks[:-1]
     ntok = len(toks)
-    sym = sum(text.count(c) for c in TH.SYMBOL_CHARS)
+    sym = len(_SYM_RE.findall(text))  # one pass, == sum of per-char counts
     n_stop = sum(1 for t in toks if t in _STOPSET)
-    alnum = len(_ALNUM_RE.sub("", low))
+    # alnum char count == total length of canonical tokens (no extra regex)
+    alnum = sum(map(len, toks))
     n = TH.DUP_NGRAM_N
     n_ng = max(ntok - n + 1, 0)
     if n_ng:
-        distinct = len({tuple(toks[i : i + n]) for i in range(n_ng)})
+        distinct = len(set(zip(*(toks[i:] for i in range(n)))))
         dup_frac = round(1.0 - distinct / n_ng, 6)
     else:
         dup_frac = 0.0

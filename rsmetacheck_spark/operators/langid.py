@@ -36,8 +36,8 @@ class LangIdModel:
         }
         corpora["zz"] = " ".join(zz_corpus())
         self.langs = list(corpora)
-        self.tables: list[dict[str, float]] = []
-        self.fallback: list[float] = []
+        tables: list[dict[str, float]] = []
+        fallback: list[float] = []
         for lang in self.langs:
             s = _normalize(corpora[lang])
             counts: dict[str, int] = {}
@@ -47,19 +47,31 @@ class LangIdModel:
             total = sum(counts.values())
             vocab = len(counts) + 1
             denom = total + _ALPHA * vocab
-            self.tables.append(
+            tables.append(
                 {g: math.log((c + _ALPHA) / denom) for g, c in counts.items()}
             )
-            self.fallback.append(math.log(_ALPHA / denom))
+            fallback.append(math.log(_ALPHA / denom))
+        # fuse per-language tables into one trigram -> score-vector dict:
+        # ONE lookup per trigram at predict time instead of |langs|
+        self.fallback = tuple(fallback)
+        all_grams = set().union(*tables)
+        self.fused: dict[str, tuple[float, ...]] = {
+            g: tuple(
+                tables[j].get(g, fallback[j]) for j in range(len(self.langs))
+            )
+            for g in all_grams
+        }
 
     def predict(self, text: str) -> str:
         s = _normalize(text[:_PREFIX_CHARS])
-        scores = [0.0] * len(self.langs)
+        n_langs = len(self.langs)
+        scores = [0.0] * n_langs
+        fused, fb = self.fused, self.fallback
         for i in range(len(s) - 2):
-            g = s[i : i + 3]
-            for j, table in enumerate(self.tables):
-                scores[j] += table.get(g, self.fallback[j])
-        best = max(range(len(self.langs)), key=lambda j: (scores[j], -j))
+            vec = fused.get(s[i : i + 3], fb)
+            for j in range(n_langs):
+                scores[j] += vec[j]
+        best = max(range(n_langs), key=lambda j: (scores[j], -j))
         return self.langs[best]
 
     def predict_series(self, texts: pd.Series) -> pd.Series:
