@@ -37,6 +37,10 @@ BENCH_QUERIES = (
     "q07_doc_rule_hits", "q08_keep_rate_by_lang", "q09_langid_vote",
     "q10_token_stats_by_source", "q11_top_ngrams", "q12_fingerprints",
     "dd01_exact_groups", "dd02_minhash_lsh_pairs", "dd03_jaccard_pairs",
+    "dd04_simhash", "q13_props_json", "q14_rollup_docs", "q15_pivot_events",
+    "q16_setops", "q17_asof_join", "q19_ivf_centroids", "q20_quality_score",
+    "q21_median_chars_by_source", "q22_rolling_hash",
+    "sim01_ann_topk", "sim02_ann_lsh_topk",
 )
 
 # pages per sf unit: sf0.1 -> 20k docs (avg doc ~1.7 KB text -> ~35 MB text)

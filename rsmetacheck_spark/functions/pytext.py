@@ -34,14 +34,20 @@ STATS_FIELDS = (
 _SYM_RE = re.compile("[" + re.escape(TH.SYMBOL_CHARS) + "]")
 
 
-def text_stats(text: str) -> dict:
-    nw = len(text.split())
-    low = text.lower()
-    toks = _TOK_RE.split(low)
+def tokenize(text: str) -> list[str]:
+    """THE canonical tokenization (same regex as operators/perplexity)."""
+    toks = _TOK_RE.split(text.lower())
     if toks and toks[0] == "":
         toks = toks[1:]
     if toks and toks[-1] == "":
         toks = toks[:-1]
+    return toks
+
+
+def text_stats(text: str, toks: list[str] | None = None) -> dict:
+    nw = len(text.split())
+    if toks is None:
+        toks = tokenize(text)
     ntok = len(toks)
     sym = len(_SYM_RE.findall(text))  # one pass, == sum of per-char counts
     n_stop = sum(1 for t in toks if t in _STOPSET)

@@ -22,7 +22,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..functions.pytext import STATS_FIELDS, text_stats
+from ..functions.pytext import STATS_FIELDS, text_stats, tokenize
 from .extract import extract_text
 from .langid import get_model as get_langid
 from .perplexity import get_model as get_ppl
@@ -58,14 +58,15 @@ def _process_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         try:
             text = extract_text(html) if html is not None else ""
             out["extracted_text"][i] = text
+            toks = tokenize(text)  # once: shared by ppl + stats
             out["lang_pred"][i] = langid.predict(text)
-            out["log_ppl"][i] = ppl.log_ppl(text)
+            out["log_ppl"][i] = ppl.log_ppl(text, toks)
             scrubbed, counts = scrub_text(text)
             out["scrubbed_text"][i] = scrubbed
             out["n_pii_email"][i] = counts.get("pii_email", 0)
             out["n_pii_phone"][i] = counts.get("pii_phone", 0)
             out["n_pii_id"][i] = counts.get("pii_id", 0)
-            for name, val in text_stats(text).items():
+            for name, val in text_stats(text, toks).items():
                 out[name][i] = val
         except Exception as exc:  # error isolation per row, never fail the task
             out["model_error"][i] = f"{type(exc).__name__}: {exc}"

@@ -45,8 +45,8 @@ class PerplexityModel:
         self.total = sum(uni.values())
         self.vsize = len(uni) + 1
 
-    def log_ppl(self, text: str) -> float:
-        toks = tokenize(text)[:_MAX_TOKENS]
+    def log_ppl(self, text: str, toks: list[str] | None = None) -> float:
+        toks = (tokenize(text) if toks is None else toks)[:_MAX_TOKENS]
         if len(toks) < 2:
             return 0.0
         uni, bi, total, vsize = self.uni, self.bi, self.total, self.vsize

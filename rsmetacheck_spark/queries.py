@@ -1046,6 +1046,37 @@ GROUP BY source
 """
 
 
+
+
+def q22_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (h = h*131 + code mod
+    2^31-1) over the char codes of the first 48 chars of the canonical
+    token stream — the classic streaming fingerprint, exact in both
+    engines via an integer fold."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    prefix = f"substring(concat_ws(' ', {toks}), 1, 48)"
+    h = (
+        f"aggregate(sequence(1, length({prefix})),"
+        f" CAST(0 AS bigint),"
+        f" (h, i) -> (h * 131 + ascii(substring({prefix}, i, 1))) % 2147483647)"
+    )
+    return d.selectExpr("doc_id", f"{h} AS fp_hash").filter(F.col("doc_id") < 50)
+
+
+def _sql_q22() -> str:
+    toks = _TOKS_DUCK.format(c="text")
+    prefix = f"substring(array_to_string({toks}, ' '), 1, 48)"
+    return f"""
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(generate_series(1, length({prefix})),
+           i -> CAST(ascii(substring({prefix}, CAST(i AS INTEGER), 1)) AS BIGINT))),
+         (h, c) -> (h * 131 + c) % 2147483647) AS fp_hash
+FROM documents WHERE doc_id < 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1081,4 +1112,5 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q19_ivf_centroids": (q19_ivf_centroids, SQL_Q19),
     "q20_quality_score": (q20_quality_score, SQL_Q20),
     "q21_median_chars_by_source": (q21_median_chars_by_source, SQL_Q21),
+    "q22_rolling_hash": (q22_rolling_hash, _sql_q22()),
 }
