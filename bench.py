@@ -198,7 +198,9 @@ def main() -> None:
         "cpus": args.cpus,
     }
     if args.scaling:
-        sdocs = max(n_docs, 200_000)  # large enough that compute dominates
+        sdocs = int(os.environ.get('SPARK_GRAFT_SCALING_DOCS', 0)) or max(
+            n_docs, 400_000
+        )  # large enough that compute dominates
         # two interleaved rounds per level, keep the best: the host shows
         # minutes-scale background-load drift, and interleaving prevents a
         # slow phase from biasing one level

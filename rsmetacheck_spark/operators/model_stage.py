@@ -76,12 +76,17 @@ def _process_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def apply_model_stage(df: DataFrame) -> DataFrame:
-    """Append model + stats columns; preserves all input columns."""
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    """Append model + stats columns. The `html` payload is consumed inside
+    the stage and NOT re-emitted: keeping it would triple the text-sized
+    bytes crossing the Arrow boundary and the downstream shuffle (html +
+    extracted + scrubbed), and memory bandwidth is the measured limiter of
+    multi-core scaling for this stage."""
+    keep_cols = [f for f in df.schema.fields if f.name != "html"]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep_cols)
     out_schema = schema + ", " + MODEL_COLS
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _process_batch(pdf)
+            yield _process_batch(pdf).drop(columns=["html"])
 
     return df.mapInPandas(run, schema=out_schema)
