@@ -138,7 +138,7 @@ def q03_topk_orders_per_priority(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_Q03 = """
-SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+SELECT o_orderpriority, CAST(rk AS INTEGER) AS rk, o_orderkey, o_totalprice FROM (
   SELECT o_orderpriority, o_orderkey, o_totalprice,
          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
@@ -184,7 +184,7 @@ def q05_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_Q05 = """
-SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events FROM (
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
   SELECT user_id,
          CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_s
   FROM (SELECT user_id, ts,
@@ -239,7 +239,7 @@ def _doc_feats(spark: SparkSession, sf: str) -> DataFrame:
 
 _DOC_FEATS_SQL = f"""
   SELECT doc_id, lang, source,
-         len({_TOKS_DUCK.format(c='text')}) AS n_tokens,
+         CAST(len({_TOKS_DUCK.format(c='text')}) AS INTEGER) AS n_tokens,
          ROUND(len(list_filter({_TOKS_DUCK.format(c='text')}, t -> t IN ({_STOP_SQL}))) * 1.0
                / greatest(len({_TOKS_DUCK.format(c='text')}), 1), 6) AS stop_frac,
          ROUND(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) * 1.0
@@ -285,10 +285,10 @@ a AS (SELECT COUNT(*) AS total,
              SUM(CASE WHEN mean_word_len < {TH.MIN_MEAN_WORD_LEN} OR mean_word_len > {TH.MAX_MEAN_WORD_LEN} THEN 1 ELSE 0 END) AS h_mwl,
              SUM(CASE WHEN lang NOT IN {DOC_KEEP_LANGS!r} THEN 1 ELSE 0 END) AS h_lang
       FROM f)
-SELECT 'doc_length' AS rule, h_len AS hits, ROUND(100.0 * h_len / total, 2) AS pct FROM a
-UNION ALL SELECT 'stopword_fraction', h_stop, ROUND(100.0 * h_stop / total, 2) FROM a
-UNION ALL SELECT 'mean_word_length', h_mwl, ROUND(100.0 * h_mwl / total, 2) FROM a
-UNION ALL SELECT 'langid', h_lang, ROUND(100.0 * h_lang / total, 2) FROM a
+SELECT 'doc_length' AS rule, CAST(h_len AS BIGINT) AS hits, ROUND(100.0 * h_len / total, 2) AS pct FROM a
+UNION ALL SELECT 'stopword_fraction', CAST(h_stop AS BIGINT), ROUND(100.0 * h_stop / total, 2) FROM a
+UNION ALL SELECT 'mean_word_length', CAST(h_mwl AS BIGINT), ROUND(100.0 * h_mwl / total, 2) FROM a
+UNION ALL SELECT 'langid', CAST(h_lang AS BIGINT), ROUND(100.0 * h_lang / total, 2) FROM a
 """
 
 
@@ -313,9 +313,9 @@ def q08_keep_rate_by_lang(spark: SparkSession, sf: str) -> DataFrame:
 SQL_Q08 = f"""
 WITH f AS ({_DOC_FEATS_SQL})
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(CASE WHEN lang IN {DOC_KEEP_LANGS!r}
+       CAST(SUM(CASE WHEN lang IN {DOC_KEEP_LANGS!r}
                  AND n_tokens BETWEEN {DOC_MIN_TOKENS} AND {DOC_MAX_TOKENS}
-                 AND stop_frac >= {DOC_MIN_STOP_FRAC} THEN 1 ELSE 0 END) AS n_keep,
+                 AND stop_frac >= {DOC_MIN_STOP_FRAC} THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
        ROUND(100.0 * SUM(CASE WHEN lang IN {DOC_KEEP_LANGS!r}
                  AND n_tokens BETWEEN {DOC_MIN_TOKENS} AND {DOC_MAX_TOKENS}
                  AND stop_frac >= {DOC_MIN_STOP_FRAC} THEN 1 ELSE 0 END) / COUNT(*), 2) AS keep_pct
@@ -505,7 +505,7 @@ def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         cand.join(sa, "id_a").join(sb, "id_b")
         .selectExpr(
             "id_a", "id_b",
-            "round(size(array_intersect(sh_a, sh_b)) * 1.0"
+            "round(size(array_intersect(sh_a, sh_b)) * CAST(1.0 AS DOUBLE)"
             " / size(array_distinct(concat(sh_a, sh_b))), 6) AS jaccard",
         )
         .filter(F.col("jaccard") >= JACCARD_T)
@@ -570,7 +570,7 @@ def dd03_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .join(sizes.selectExpr("doc_id AS id_b", "n_sh AS n_b"), "id_b")
         .selectExpr(
             "id_a", "id_b",
-            "round(inter * 1.0 / (n_a + n_b - inter), 6) AS jaccard",
+            "round(inter * CAST(1.0 AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard",
         )
         .filter(F.col("jaccard") >= JACCARD_T)
     )
@@ -847,7 +847,7 @@ def q15_pivot_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_Q15 = "SELECT user_id, " + ", ".join(
-    f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
     for t in _EVENT_TYPES
 ) + " FROM events GROUP BY user_id"
 
@@ -1003,10 +1003,10 @@ def q20_quality_score(spark: SparkSession, sf: str) -> DataFrame:
 SQL_Q20 = f"""
 WITH f AS ({_DOC_FEATS_SQL})
 SELECT doc_id,
-       ROUND((CASE WHEN n_tokens BETWEEN {DOC_MIN_TOKENS} AND {DOC_MAX_TOKENS} THEN 0.4 ELSE 0.0 END)
+       CAST(ROUND((CASE WHEN n_tokens BETWEEN {DOC_MIN_TOKENS} AND {DOC_MAX_TOKENS} THEN 0.4 ELSE 0.0 END)
            + (CASE WHEN stop_frac >= {DOC_MIN_STOP_FRAC} THEN 0.3 ELSE 0.0 END)
            + (CASE WHEN mean_word_len BETWEEN {TH.MIN_MEAN_WORD_LEN} AND {TH.MAX_MEAN_WORD_LEN} THEN 0.2 ELSE 0.0 END)
-           + (CASE WHEN lang IN {DOC_KEEP_LANGS!r} THEN 0.1 ELSE 0.0 END), 2) AS quality
+           + (CASE WHEN lang IN {DOC_KEEP_LANGS!r} THEN 0.1 ELSE 0.0 END), 2) AS DOUBLE) AS quality
 FROM f ORDER BY quality DESC, doc_id ASC LIMIT 20
 """
 
