@@ -1,0 +1,59 @@
+"""Custom stateful streaming operator: incremental sessionization via
+applyInPandasWithState (the guide's custom-stateful-operator slot).
+
+Per user, state carries (last_ts_epoch, n_sessions, n_events) across
+micro-batches; a new session starts when the gap to the previous event
+exceeds `gap_sec`. Each batch emits the user's running totals; the final
+emission must equal the batch sessionization (queries.q05_sessionize) when
+events arrive in event-time order per user — verified by
+tests/test_stateful_streaming.py with a multi-file time-ordered stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GAP_SEC = 1800
+
+OUTPUT_SCHEMA = "user_id long, n_sessions long, n_events long"
+STATE_SCHEMA = "last_ts double, n_sessions long, n_events long"
+
+
+def _update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last_ts, n_sessions, n_events = (
+        state.get if state.exists else (None, 0, 0)
+    )
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts in pdf["ts"]:
+            # whole-second truncation matches the batch q05 semantics
+            # (unix_timestamp/epoch both truncate)
+            t = int(ts.timestamp())
+            if last_ts is None or t - last_ts > GAP_SEC:
+                n_sessions += 1
+            last_ts = t
+            n_events += 1
+    state.update((last_ts, n_sessions, n_events))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+    )
+
+
+def sessionize_stateful(events_stream: DataFrame) -> DataFrame:
+    return (
+        events_stream
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
