@@ -29,21 +29,15 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda x: x != F.lit(""))
 
 
-def shingles(toks: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct word n-grams as strings."""
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(size({_name(toks)}) - {n - 1}, 0)),"
-            f" i -> concat_ws(' ', slice({_name(toks)}, i, {n})))"
-        )
+def shingles(col_name: str, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-grams as strings ([] for docs shorter than n —
+    Spark's sequence(1,0) is [1,0], never feed it to slice)."""
+    return F.expr(
+        f"CASE WHEN size({col_name}) >= {n} THEN"
+        f" array_distinct(transform(sequence(1, size({col_name}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({col_name}, i, {n}))))"
+        f" ELSE CAST(array() AS array<string>) END"
     )
-
-
-def _name(col: Column) -> str:
-    # helper used only with plain named columns (F.col("x"))
-    s = str(col)
-    # Column<'x'> -> x
-    return s.split("'")[1]
 
 
 def minhash_sig(shingle_col: str, num_hashes: int = NUM_HASHES) -> Column:

@@ -392,8 +392,9 @@ def q11_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     # (observed 10x slowdown at sf0.1)
     t = d.selectExpr(f"{toks} AS t")
     ng = (
-        "transform(sequence(1, greatest(size(t) - 2, 0)),"
+        "CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t) - 2),"
         " i -> concat_ws(' ', slice(t, i, 3)))"
+        " ELSE CAST(array() AS array<string>) END"
     )
     return (
         t.selectExpr(f"explode({ng}) AS ngram")
@@ -423,7 +424,8 @@ def q12_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_Q12 = f"""
-SELECT doc_id, md5(array_to_string({_TOKS_DUCK.format(c='text')}[1:8], ' ')) AS fp
+SELECT doc_id,
+       md5(coalesce(array_to_string({_TOKS_DUCK.format(c='text')}[1:8], ' '), '')) AS fp
 FROM documents WHERE doc_id < 20
 """
 
@@ -450,9 +452,14 @@ FROM documents GROUP BY 1
 """
 
 
+# guarded: Spark's sequence(1, 0) is the DESCENDING [1, 0] (slice would
+# then throw on start=0), while DuckDB's generate_series(1, 0) is empty —
+# short documents need an explicit empty-array branch
 _SHINGLES_SPARK = (
-    "array_distinct(transform(sequence(1, greatest(size({t}) - 2, 0)),"
+    "CASE WHEN size({t}) >= 3 THEN"
+    " array_distinct(transform(sequence(1, size({t}) - 2),"
     " i -> concat_ws(' ', slice({t}, i, 3))))"
+    " ELSE CAST(array() AS array<string>) END"
 )
 _SHINGLES_DUCK = (
     "list_distinct(list_transform(generate_series(1, greatest(len({t}) - 2, 0)),"
@@ -478,6 +485,7 @@ def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     sh = (
         d.selectExpr("doc_id", f"{toks} AS t")
         .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
+        .filter(F.expr("size(sh) > 0"))  # empty docs have no near-dup notion
         .cache()
     )
     sig = sh.selectExpr(
@@ -518,7 +526,8 @@ def _sql_dd02() -> str:
     t = _TOKS_DUCK.format(c="text")
     return f"""
 WITH sh AS (
-  SELECT doc_id, {_SHINGLES_DUCK.format(t=t)} AS sh FROM documents),
+  SELECT doc_id, {_SHINGLES_DUCK.format(t=t)} AS sh FROM documents
+  WHERE len({_SHINGLES_DUCK.format(t=t)}) > 0),
 sig AS (
   SELECT doc_id, sh,
          list_transform(generate_series(0, {NUM_HASHES - 1}),
@@ -1057,9 +1066,11 @@ def q22_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
     toks = _TOKS_SPARK.format(c="text")
     prefix = f"substring(concat_ws(' ', {toks}), 1, 48)"
     h = (
-        f"aggregate(sequence(1, length({prefix})),"
+        f"CASE WHEN length({prefix}) > 0 THEN"
+        f" aggregate(sequence(1, length({prefix})),"
         f" CAST(0 AS bigint),"
         f" (h, i) -> (h * 131 + ascii(substring({prefix}, i, 1))) % 2147483647)"
+        f" ELSE CAST(0 AS bigint) END"
     )
     return d.selectExpr("doc_id", f"{h} AS fp_hash").filter(F.col("doc_id") < 50)
 
