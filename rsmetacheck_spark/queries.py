@@ -47,6 +47,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _checkpoint(df: DataFrame, tag: str) -> DataFrame:
+    """Materialize an intermediate to scratch parquet and read it back —
+    the query-local analog of checkpointing to a bucketed scratch table.
+    Replaces .cache() for plan branches that reuse expensive intermediates:
+    no executor-memory residency, no unpersist leak across a bench sweep,
+    and the exact pattern that survives 100 TB (shingle/signature tables
+    don't fit in cluster RAM; a spill-safe columnar scratch table does)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=f"rsmc_ckpt_{tag}_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def _dsum(col: str) -> F.Column:
     """Order-independent float sum: through decimal, out as double."""
     return F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
@@ -227,13 +244,18 @@ FROM events GROUP BY 1, 2
 def _doc_feats(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
+    # tokenize ONCE into a column, then derive every feature from it —
+    # inlining `toks` into each feature expression re-runs the regex split
+    # per feature (same fusion as q11/dd02)
     return d.selectExpr(
+        "doc_id", "lang", "source", "text", f"{toks} AS t"
+    ).selectExpr(
         "doc_id", "lang", "source",
-        f"size({toks}) AS n_tokens",
-        f"round(size(filter({toks}, t -> t IN ({_STOP_SQL}))) * 1.0"
-        f" / greatest(size({toks}), 1), 6) AS stop_frac",
-        f"round(length(regexp_replace(lower(text), '[^a-z0-9]', '')) * 1.0"
-        f" / greatest(size({toks}), 1), 6) AS mean_word_len",
+        "size(t) AS n_tokens",
+        f"round(size(filter(t, x -> x IN ({_STOP_SQL}))) * 1.0"
+        f" / greatest(size(t), 1), 6) AS stop_frac",
+        "round(length(regexp_replace(lower(text), '[^a-z0-9]', '')) * 1.0"
+        " / greatest(size(t), 1), 6) AS mean_word_len",
     )
 
 
@@ -331,15 +353,15 @@ _LANGID_CASE = (
 )
 
 
-def _langid_vote_cols(dialect: str) -> list[str]:
+def _langid_vote_cols(dialect: str, tok_expr: str | None = None) -> list[str]:
     out = []
     for lang in ("en", "de", "fr", "es"):
         words = ", ".join(f"'{w}'" for w in TH.STOPWORDS[lang])
         if dialect == "spark":
-            toks = _TOKS_SPARK.format(c="text")
+            toks = tok_expr or _TOKS_SPARK.format(c="text")
             out.append(f"size(filter({toks}, t -> t IN ({words}))) AS c_{lang}")
         else:
-            toks = _TOKS_DUCK.format(c="text")
+            toks = tok_expr or _TOKS_DUCK.format(c="text")
             out.append(f"len(list_filter({toks}, t -> t IN ({words}))) AS c_{lang}")
     return out
 
@@ -347,10 +369,13 @@ def _langid_vote_cols(dialect: str) -> list[str]:
 def q09_langid_vote(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-vote language ID (F6 language filter/normalize analog,
     pitfall_utils.py:6-39) — SQL-expressible variant of the pipeline's
-    char-trigram model."""
+    char-trigram model. Tokenizes once into a column, then votes per
+    language off the materialized array (not 4 regex re-splits)."""
     d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
     return (
-        d.selectExpr("lang", *_langid_vote_cols("spark"))
+        d.selectExpr("lang", f"{toks} AS tk")
+        .selectExpr("lang", *_langid_vote_cols("spark", tok_expr="tk"))
         .selectExpr("lang", _LANGID_CASE)
         .groupBy("lang", "pred")
         .agg(F.count("*").alias("n"))
@@ -468,38 +493,46 @@ _SHINGLES_DUCK = (
 
 
 def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup candidate pairs via MinHash+LSH banding, verified by exact
-    Jaccard >= t. Shuffle story at scale: docs->signatures is map-only;
-    the band-bucket self-join shuffles (band_key, doc_id) pairs only;
-    Jaccard verification joins shingle sets back by doc_id (co-partitioned
-    equi-joins), never a full cross product."""
-    from .functions.hashing import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND
+    """Near-dup candidate pairs via MinHash+LSH banding (128 hashes / 16
+    bands — production parameters, threshold ~0.71), verified by exact
+    Jaccard >= t. Scale story: docs->signatures is one map-only pass,
+    checkpointed to scratch parquet (NOT .cache(): signature+shingle tables
+    at 100 TB live in a bucketed scratch table, not executor RAM); the
+    band-bucket self-join shuffles (band_key, doc_id) pairs only; band
+    buckets holding > BAND_CAP docs (viral templates) are dropped via a
+    broadcast anti-join against the tiny hot-band list, bounding the
+    worst-case candidate blowup inside any single key; Jaccard verification
+    joins shingle sets back by doc_id (co-partitioned equi-joins), never a
+    full cross product."""
+    from .functions.hashing import BAND_CAP, NUM_BANDS, NUM_HASHES, ROWS_PER_BAND
 
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
-    # cache the shingle sets and band keys: both feed two plan branches
-    # (self-join sides + jaccard verify); without the cache the md5
-    # signature work re-executes once per branch. Tokens are materialized
-    # as a column first so the shingle lambda doesn't re-run the regex
-    # split per element.
-    sh = (
+    # tokens materialized as a column first so the shingle lambda doesn't
+    # re-run the regex split per element
+    sig = (
         d.selectExpr("doc_id", f"{toks} AS t")
         .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
         .filter(F.expr("size(sh) > 0"))  # empty docs have no near-dup notion
-        .cache()
+        .selectExpr(
+            "doc_id", "sh",
+            f"transform(sequence(0, {NUM_HASHES - 1}),"
+            f" i -> array_min(transform(sh, s -> md5(concat(cast(i AS string), '|', s))))) AS sig",
+        )
     )
-    sig = sh.selectExpr(
-        "doc_id", "sh",
-        f"transform(sequence(0, {NUM_HASHES - 1}),"
-        f" i -> array_min(transform(sh, s -> md5(concat(cast(i AS string), '|', s))))) AS sig",
-    )
-    bands = sig.selectExpr(
+    mat = _checkpoint(sig, "dd02_sig")  # one pass; 3 consumers below
+    bands = mat.selectExpr(
         "doc_id",
         f"explode(transform(sequence(0, {NUM_BANDS - 1}),"
         f" b -> concat(cast(b AS string), ':',"
         f" md5(concat_ws('|', slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}))))))"
         " AS band_key",
-    ).cache()
+    )
+    hot = (
+        bands.groupBy("band_key").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > BAND_CAP).select("band_key")
+    )
+    bands = bands.join(F.broadcast(hot), "band_key", "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
@@ -507,8 +540,8 @@ def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sa = sh.selectExpr("doc_id AS id_a", "sh AS sh_a")
-    sb = sh.selectExpr("doc_id AS id_b", "sh AS sh_b")
+    sa = mat.selectExpr("doc_id AS id_a", "sh AS sh_a")
+    sb = mat.selectExpr("doc_id AS id_b", "sh AS sh_b")
     return (
         cand.join(sa, "id_a").join(sb, "id_b")
         .selectExpr(
@@ -521,7 +554,7 @@ def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_dd02() -> str:
-    from .functions.hashing import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND
+    from .functions.hashing import BAND_CAP, NUM_BANDS, NUM_HASHES, ROWS_PER_BAND
 
     t = _TOKS_DUCK.format(c="text")
     return f"""
@@ -533,12 +566,14 @@ sig AS (
          list_transform(generate_series(0, {NUM_HASHES - 1}),
            i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
   FROM sh),
-bands AS (
+bands0 AS (
   SELECT doc_id,
          unnest(list_transform(generate_series(0, {NUM_BANDS - 1}),
            b -> CAST(b AS VARCHAR) || ':' ||
                 md5(array_to_string(sig[b * {ROWS_PER_BAND} + 1 : b * {ROWS_PER_BAND} + {ROWS_PER_BAND}], '|')))) AS band_key
   FROM sig),
+hot AS (SELECT band_key FROM bands0 GROUP BY band_key HAVING COUNT(*) > {BAND_CAP}),
+bands AS (SELECT * FROM bands0 WHERE band_key NOT IN (SELECT band_key FROM hot)),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
@@ -558,21 +593,30 @@ def dd03_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     document frequency > 100 (stopword-shingle guard)."""
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
-    sh = (
+    # materialize the inverted index (doc_id, shingle) ONCE to scratch
+    # parquet — it feeds three consumers (frequency guard, self-join,
+    # per-doc sizes); a .cache() here would pin it in executor RAM and
+    # leak across a bench sweep, and at 100 TB the inverted index is a
+    # scratch table, not a cache
+    inv0 = _checkpoint(
         d.selectExpr("doc_id", f"{toks} AS t")
         .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
+        .selectExpr("doc_id", "explode(sh) AS s"),
+        "dd03_inv",
     )
-    sh.cache()
-    inv = sh.selectExpr("doc_id", "explode(sh) AS s")
-    freq = inv.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= 100)
-    inv = inv.join(F.broadcast(freq.select("s")), "s")
+    # drop stopword-shingles with document frequency > 100: broadcast the
+    # tiny HOT list and anti-join (broadcasting the kept set would ship
+    # nearly the whole vocabulary)
+    hot = inv0.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > 100)
+    inv = inv0.join(F.broadcast(hot.select("s")), "s", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     overlap = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
-    sizes = sh.selectExpr("doc_id", "size(sh) AS n_sh")
+    # shingles are distinct within a doc, so |shingle set| = index rows
+    sizes = inv0.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     return (
         overlap
         .join(sizes.selectExpr("doc_id AS id_a", "n_sh AS n_a"), "id_a")
@@ -649,35 +693,70 @@ FROM documents WHERE doc_id < 30
 """
 
 
+# dd05 LSH amplification: L hash tables of K hyperplanes each. Candidates =
+# pairs agreeing on ALL K signs in AT LEAST ONE table (OR-of-ANDs). For a
+# pair at cosine c, P(candidate) = 1-(1-p^K)^L with p = 1-acos(c)/pi; at the
+# 0.45 threshold (p~0.65) K=2/L=6 gives ~0.96 recall. At 100 TB, K grows
+# with corpus size (K ~ log2(n/bucket_target)) and L buys recall back —
+# the shuffle is always an equi-join on (table, bucket), never all-pairs.
+DD05_TABLES = 6
+DD05_PLANES = 2
+
+
 def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs. Test-scale: brute force with a
-    label-blocked join would be the scale path; here labels ARE the blocks
-    (pairs across labels can't clear the threshold in this data)."""
+    """Embedding-cosine near-dup pairs via multi-table hyperplane LSH:
+    bucket assignment is map-only; the candidate self-join is an equi-join
+    on (table_id, bucket) moving (bucket_key, vec_id) pairs only; cosine is
+    verified exactly on the deduplicated candidates via equi-joins back to
+    the vectors. No unblocked theta-join anywhere in the plan. (Label is
+    deliberately NOT a blocking key: in this corpus most >=0.45 pairs are
+    cross-label, so metadata blocking would be semantically wrong.)"""
     e = _t(spark, sf, "embeddings").selectExpr(
-        "vec_id", "label", "transform(embedding, x -> CAST(x AS double)) AS v"
+        "vec_id", "transform(embedding, x -> CAST(x AS double)) AS v"
     )
-    a, b = e.alias("a"), e.alias("b")
-    dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS double), (acc, x) -> acc + x)"
-    na = "sqrt(aggregate(transform(a.v, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
-    nb = "sqrt(aggregate(transform(b.v, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
+    tbl_exprs = []
+    for tbl in range(DD05_TABLES):
+        b_spark, _ = _bucket_exprs("v", n_planes=DD05_PLANES, seed=177 + tbl)
+        tbl_exprs.append(f"concat('{tbl}:', {b_spark})")
+    bkts = e.selectExpr(
+        "vec_id", f"explode(array({', '.join(tbl_exprs)})) AS bucket_key"
+    )
+    a, b = bkts.alias("a"), bkts.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bucket_key") == F.col("b.bucket_key"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = e.selectExpr("vec_id AS id_a", "v AS v_a")
+    vb = e.selectExpr("vec_id AS id_b", "v AS v_b")
+    dot = "aggregate(zip_with(v_a, v_b, (x, y) -> x * y), CAST(0 AS double), (acc, x) -> acc + x)"
+    na = "sqrt(aggregate(transform(v_a, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
+    nb = "sqrt(aggregate(transform(v_b, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .selectExpr(
-            "a.vec_id AS id_a", "b.vec_id AS id_b",
-            f"round({dot} / ({na} * {nb}), 6) AS cos_sim",
-        )
+        cand.join(va, "id_a").join(vb, "id_b")
+        .selectExpr("id_a", "id_b", f"round({dot} / ({na} * {nb}), 6) AS cos_sim")
         .filter(F.col("cos_sim") >= COSINE_PAIR_T)
     )
 
 
-SQL_DD05 = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {COSINE_PAIR_T}
+def _sql_dd05() -> str:
+    tbl_exprs = []
+    for tbl in range(DD05_TABLES):
+        _, b_duck = _bucket_exprs("v", n_planes=DD05_PLANES, seed=177 + tbl)
+        tbl_exprs.append(f"'{tbl}:' || {b_duck}")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bkts AS (SELECT vec_id, unnest([{', '.join(tbl_exprs)}]) AS bucket_key FROM e),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bkts a JOIN bkts b ON a.bucket_key = b.bucket_key AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+       ROUND(list_dot_product(va.v, vb.v)
+             / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cos_sim
+FROM cand JOIN e va ON cand.id_a = va.vec_id JOIN e vb ON cand.id_b = vb.vec_id
+WHERE list_dot_product(va.v, vb.v)
+      / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) >= {COSINE_PAIR_T}
 """
 
 
@@ -724,9 +803,9 @@ def _hyperplanes(n_planes: int = 6, dim: int = 64, seed: int = 77):
     return rng.randn(n_planes, dim).round(6).tolist()
 
 
-def _bucket_exprs(vcol: str) -> tuple[str, str]:
+def _bucket_exprs(vcol: str, n_planes: int = 6, seed: int = 77) -> tuple[str, str]:
     """(spark_expr, duck_expr) computing the sign-bucket string of vcol."""
-    planes = _hyperplanes()
+    planes = _hyperplanes(n_planes=n_planes, seed=seed)
     s_parts, d_parts = [], []
     for h in planes:
         lit_s = "array(" + ", ".join(f"CAST({x} AS double)" for x in h) + ")"
@@ -781,7 +860,12 @@ def mm01_media_features(spark: SparkSession, sf: str) -> DataFrame:
     No SQL oracle (binary decode is engine-side); driver records rows-only."""
     from .operators.multimodal import extract_features, synth_media
 
-    n = 500 if "0.1" in sf else 200
+    base = os.path.basename(sf.rstrip("/"))
+    try:
+        sfv = float(base.replace("sf", ""))
+    except ValueError:
+        sfv = 0.01
+    n = 500 if sfv >= 0.1 else 200
     feats = extract_features(synth_media(spark, n=n))
     return feats.select(
         "media_id", "kind", "n_bytes", "sha1", "mean_byte", "frame_count"
@@ -1021,9 +1105,34 @@ FROM f ORDER BY quality DESC, doc_id ASC LIMIT 20
 
 
 def q21_median_chars_by_source(spark: SparkSession, sf: str) -> DataFrame:
-    """Custom grouped aggregate via applyInPandas (SURVEY §2.9 grouped-map
-    slot): exact lower-median of n_chars per source. Oracle uses an
-    independent window formulation (row_number at ceil(n/2))."""
+    """Exact lower-median of n_chars per source, two-phase & distributed:
+    a window row_number over (source, n_chars) + a windowed count pick the
+    value at rank ceil(n/2). Unlike a whole-group Python UDF, the per-group
+    sort is Spark's spillable window sort — a skewed `source` never has to
+    fit in one Python worker's memory. (The grouped-map applyInPandas
+    formulation lives on as q21b, the SURVEY §2.9 grouped-UDF surface.)"""
+    d = _t(spark, sf, "documents").select("source", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars")
+    wc = Window.partitionBy("source")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wc))
+        .filter(F.col("rk") == F.floor((F.col("n") + 1) / 2))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("n_chars").alias("median_chars"),
+        )
+    )
+
+
+def q21b_median_grouped_udaf(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map applyInPandas variant of q21 (SURVEY §2.9 grouped-UDF
+    surface; the reference's per-document detector-fanout shape,
+    detect_pitfalls_main.py:327-358, lifted to per-group). Test-scale only
+    by design: each group is materialized in one Python worker, so the
+    default/scale path is q21's window formulation. Kept oracle-checked so
+    the grouped-UDF surface itself stays correctness-gated."""
     import pandas as pd
 
     d = _t(spark, sf, "documents").select("source", "n_chars")
@@ -1111,7 +1220,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dd02_minhash_lsh_pairs": (dd02_minhash_lsh_pairs, _sql_dd02()),
     "dd03_jaccard_pairs": (dd03_jaccard_pairs, _sql_dd03()),
     "dd04_simhash": (dd04_simhash, _sql_dd04()),
-    "dd05_embedding_pairs": (dd05_embedding_pairs, SQL_DD05),
+    "dd05_embedding_pairs": (dd05_embedding_pairs, _sql_dd05()),
     "sim01_ann_topk": (sim01_ann_topk, SQL_SIM01),
     "sim02_ann_lsh_topk": (sim02_ann_lsh_topk, _sql_sim02()),
     "mm01_media_features": (mm01_media_features, None),
@@ -1123,5 +1232,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q19_ivf_centroids": (q19_ivf_centroids, SQL_Q19),
     "q20_quality_score": (q20_quality_score, SQL_Q20),
     "q21_median_chars_by_source": (q21_median_chars_by_source, SQL_Q21),
+    "q21b_median_grouped_udaf": (q21b_median_grouped_udaf, SQL_Q21),
     "q22_rolling_hash": (q22_rolling_hash, _sql_q22()),
 }
