@@ -1,0 +1,687 @@
+"""Evidence-document data model + the cross-evidence detector family.
+
+The reference's core computational shape (SURVEY §1.1/§1.4) is a document
+of category -> list-of-evidence-entries, where detectors correlate evidence
+rows WITHIN one document: filter by source/technique, take the first match,
+normalize, and compare across entries. In Spark that shape is an
+`array<struct>` column and the detectors are native array expressions
+(`filter`/`exists`/`transform`/`try_element_at`) — zero shuffle, fully
+whole-stage-codegen, executed per row at scan speed. This module builds
+that model and implements an analog for every remaining SURVEY §2.3
+detector shape as an oracle-checked query.
+
+Evidence synthesis: the `ev` column is DERIVED DETERMINISTICALLY from
+doc_id by the same SQL in both engines (Spark + the DuckDB oracle), so the
+driver's correctness gate cross-checks the detectors themselves, not a
+data-generation side channel. Each rule's hit set is a known residue class
+(e.g. P001 fires iff doc_id % 7 == 0), which makes per-rule expectations
+testable in pytest too.
+
+Struct fields: src (metadata file / origin), tech (extraction technique),
+k (category key), v (value string), ver (optional version string).
+
+Reference shapes covered here (file:line cites are to /root/reference):
+  P001 version mismatch           p001.py:5-94    -> ev01
+  P003 multi-author separators    p003.py:6-29    -> ev03
+  P005 archive-URL alternation    p005.py:4-29    -> ev06
+  P006 license-is-local-path      p006.py:4-37    -> ev07
+  P007 exists() boolean algebra   p007.py:4-49    -> ev06
+  P009 homepage-is-repo           p009.py:1-60    -> ev06
+  P010 copyright-only license     p010.py:29-102  -> ev07
+  P012 version-from-URL compare   p012.py:5-138   -> ev01
+  P013 license-lacks-version      p013.py:28-66   -> ev07
+  P014 bare DOI                   p014.py:5-28    -> ev05
+  P016 repo-URL normalize+compare p016.py:4-79    -> ev02
+  P017 codemeta-vs-manifests      p017.py:59-93   -> ev01
+  P018 raw SWHID                  p018.py:5-24    -> ev05
+  P019 author-count inconsistency p019.py:26-144  -> ev03
+  W001 unversioned requirements   w001.py:33-119  -> ev08
+  W002 date-delta multi-format    w002.py:58-145  -> ev04
+  W003 dual-license cond. count   w003.py:24-62   -> ev07
+  W004 null-version filter        w004.py:3-49    -> ev08
+  W005 multi-req split            w005.py:6-99    -> ev08
+  W006 two-exists id validity     w006.py:5-154   -> ev05
+  W007 empty identifier           w007.py:4-35    -> ev05
+  W008 bracket-list author        w008.py:41-53   -> ev03
+  W009 value-is-URL               w009.py:5-26    -> ev06
+  W010 git-remote shorthand       w010.py:5-27    -> ev02
+  P002 placeholder regexes        p002.py:30-59   -> ev07
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+# ---------------------------------------------------------------------------
+# Dialect helpers: the same logical expression rendered for Spark SQL and
+# for DuckDB SQL. Lambda syntax (e -> ...) and struct field access (e.v)
+# are identical in both; everything else goes through these helpers.
+# ---------------------------------------------------------------------------
+
+
+class Dia:
+    def __init__(self, duck: bool):
+        self.duck = duck
+
+    # regex literal: Spark SQL string literals treat backslash as escape,
+    # DuckDB does not
+    def _rx(self, pattern: str) -> str:
+        return pattern if self.duck else pattern.replace("\\", "\\\\")
+
+    def rlike(self, s: str, pattern: str) -> str:
+        if self.duck:
+            return f"regexp_matches({s}, '{self._rx(pattern)}')"
+        return f"({s} rlike '{self._rx(pattern)}')"
+
+    def rextract(self, s: str, pattern: str, group: int = 1) -> str:
+        return f"regexp_extract({s}, '{self._rx(pattern)}', {group})"
+
+    def rreplace(self, s: str, pattern: str, repl: str) -> str:
+        # backreference syntax: Java $1 vs RE2 \1
+        r = repl.replace("$G1", "\\1" if self.duck else "$1")
+        return f"regexp_replace({s}, '{self._rx(pattern)}', '{r}')"
+
+    def filter(self, arr: str, lam: str) -> str:
+        fn = "list_filter" if self.duck else "filter"
+        return f"{fn}({arr}, {lam})"
+
+    def transform(self, arr: str, lam: str) -> str:
+        fn = "list_transform" if self.duck else "transform"
+        return f"{fn}({arr}, {lam})"
+
+    def exists(self, arr: str, lam: str) -> str:
+        if self.duck:
+            return f"(len(list_filter({arr}, {lam})) > 0)"
+        return f"exists({arr}, {lam})"
+
+    def first(self, arr: str) -> str:
+        """First element or NULL (F4 first-match-wins, p004.py:78)."""
+        if self.duck:
+            return f"({arr})[1]"
+        return f"try_element_at({arr}, 1)"
+
+    def size(self, arr: str) -> str:
+        return f"len({arr})" if self.duck else f"size({arr})"
+
+    def distinct(self, arr: str) -> str:
+        fn = "list_distinct" if self.duck else "array_distinct"
+        return f"{fn}({arr})"
+
+    def amin(self, arr: str) -> str:
+        return f"list_min({arr})" if self.duck else f"array_min({arr})"
+
+    def amax(self, arr: str) -> str:
+        return f"list_max({arr})" if self.duck else f"array_max({arr})"
+
+    def split_plain(self, s: str, sep: str) -> str:
+        if self.duck:
+            return f"string_split({s}, '{sep}')"
+        return f"split({s}, '{sep}')"
+
+    def split_rx(self, s: str, pattern: str) -> str:
+        if self.duck:
+            return f"regexp_split_to_array({s}, '{self._rx(pattern)}')"
+        return f"split({s}, '{self._rx(pattern)}')"
+
+    def s(self, x: str) -> str:
+        t = "VARCHAR" if self.duck else "string"
+        return f"CAST({x} AS {t})"
+
+    def struct(self, src: str, tech: str, k: str, v: str, ver: str = "NULL") -> str:
+        if self.duck:
+            ver_t = f"{ver}::VARCHAR" if ver == "NULL" else ver
+            return f"{{'src': {src}, 'tech': {tech}, 'k': {k}, 'v': {v}, 'ver': {ver_t}}}"
+        ver_t = f"CAST({ver} AS string)" if ver == "NULL" else ver
+        return f"named_struct('src', {src}, 'tech', {tech}, 'k', {k}, 'v', {v}, 'ver', {ver_t})"
+
+    def arr(self, *items: str) -> str:
+        body = ", ".join(items)
+        return f"[{body}]" if self.duck else f"array({body})"
+
+    def empty_ev(self) -> str:
+        if self.duck:
+            return "[]::STRUCT(src VARCHAR, tech VARCHAR, k VARCHAR, v VARCHAR, ver VARCHAR)[]"
+        return ("CAST(array() AS array<struct<"
+                "src:string,tech:string,k:string,v:string,ver:string>>)")
+
+    def concat_arr(self, *arrs: str) -> str:
+        if self.duck:
+            return "(" + " || ".join(arrs) + ")"
+        return "concat(" + ", ".join(arrs) + ")"
+
+    def join_str(self, arr: str, sep: str) -> str:
+        if self.duck:
+            return f"array_to_string({arr}, '{sep}')"
+        return f"array_join({arr}, '{sep}')"
+
+    def seq(self, lo: str, hi: str) -> str:
+        fn = "generate_series" if self.duck else "sequence"
+        return f"{fn}({lo}, {hi})"
+
+    def ts_parse(self, s: str) -> str:
+        """Multi-format timestamp parse (W002's 5-format coalesce shape,
+        w002.py:58-92): plain, ISO-T, then date-prefix fallback."""
+        if self.duck:
+            return (
+                f"coalesce(try_strptime({s}, '%Y-%m-%d %H:%M:%S'),"
+                f" try_strptime({s}, '%Y-%m-%dT%H:%M:%S'),"
+                f" try_strptime(regexp_extract({s}, '^([0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}})', 1), '%Y-%m-%d'))"
+            )
+        return (
+            f"coalesce(try_to_timestamp({s}, 'yyyy-MM-dd HH:mm:ss'),"
+            f" try_to_timestamp({s}, \"yyyy-MM-dd'T'HH:mm:ss\"),"
+            f" try_to_timestamp(regexp_extract({s}, '^([0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}})', 1), 'yyyy-MM-dd'))"
+        )
+
+    def date_diff_days(self, start_ts: str, end_ts: str) -> str:
+        if self.duck:
+            return f"date_diff('day', CAST({start_ts} AS DATE), CAST({end_ts} AS DATE))"
+        return f"datediff(CAST({end_ts} AS DATE), CAST({start_ts} AS DATE))"
+
+    def md5(self, s: str) -> str:
+        return f"md5({s})"
+
+    def flag(self, cond: str) -> str:
+        return f"(CASE WHEN {cond} THEN 1 ELSE 0 END)"
+
+
+SPARK = Dia(duck=False)
+DUCK = Dia(duck=True)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic evidence synthesis from doc_id (identical in both engines)
+# ---------------------------------------------------------------------------
+
+
+def _q(x: str) -> str:
+    return f"'{x}'"
+
+
+def ev_expr(d: Dia) -> str:
+    """The array<struct> evidence column, derived from doc_id."""
+    did = "doc_id"
+    s = d.s
+
+    maj = s(f"{did} % 5")
+    mnr = s(f"{did} % 3")
+    # release minor shifts when doc_id % 7 == 0 -> P001 mismatch set
+    rel_mnr = f"(CASE WHEN {did} % 7 = 0 THEN {s(f'({did} % 3 + 1) % 3')} ELSE {mnr} END)"
+    # download-URL minor shifts off the RELEASE minor when % 13 -> P012 set
+    dl_mnr = (
+        f"(CASE WHEN {did} % 13 = 0 THEN"
+        f" {s(f'((CASE WHEN {did} % 7 = 0 THEN ({did} % 3 + 1) % 3 ELSE {did} % 3 END) + 1) % 3')}"
+        f" ELSE {rel_mnr} END)"
+    )
+    cm_ver = f"'v' || {maj} || '.' || {mnr}"
+    pkg_ver = f"'v' || {maj} || '.' || {mnr} || (CASE WHEN {did} % 11 = 0 THEN '.1' ELSE '' END)"
+    rel_ver = f"{maj} || '.' || {rel_mnr}"
+
+    api_url = f"'https://github.com/org' || {s(f'{did} % 50')} || '/repo' || {s(f'{did} % 20')}"
+    # codemeta repo number drifts when % 17 -> P016 true-mismatch set
+    rnum = s(f"(CASE WHEN {did} % 17 = 0 THEN ({did} + 1) % 20 ELSE {did} % 20 END)")
+    cm_url = (
+        f"(CASE {did} % 3"
+        f" WHEN 0 THEN 'https://GitHub.com/ORG' || {s(f'{did} % 50')} || '/Repo' || {rnum} || '.git'"
+        f" WHEN 1 THEN 'git@github.com:org' || {s(f'{did} % 50')} || '/repo' || {rnum}"
+        f" ELSE 'https://github.com/org' || {s(f'{did} % 50')} || '/repo' || {rnum} || '/' END)"
+    )
+
+    day = f"({did} % 25 + 4)"
+    day_cm = f"({day} - (CASE WHEN {did} % 9 = 0 THEN 3 ELSE 0 END))"
+    gh_date = f"'2024-03-' || lpad({s(day)}, 2, '0') || ' 10:00:00'"
+    cm_date = (
+        f"(CASE WHEN {did} % 2 = 0"
+        f" THEN '2024-03-' || lpad({s(day_cm)}, 2, '0') || 'T08:00:00'"
+        f" ELSE '2024-03-' || lpad({s(day_cm)}, 2, '0') || ' 08:00:00' END)"
+    )
+
+    def author_list(n: str, sep: str) -> str:
+        names = d.transform(d.seq("1", n), f"i -> 'author' || {s('i')}")
+        return d.join_str(names, sep)
+
+    n_gh = f"(1 + {did} % 3)"
+    n_cm = f"(CASE WHEN {did} % 19 = 0 THEN 1 + ({did} + 1) % 3 ELSE 1 + {did} % 3 END)"
+    authors_gh = author_list(n_gh, ",")
+    # %21 docs use ' and ' as separator (P003 separator-pattern shape)
+    authors_cm = (
+        f"(CASE WHEN {did} % 21 = 0 THEN {author_list(n_cm, ' and ')}"
+        f" ELSE {author_list(n_cm, ',')} END)"
+    )
+
+    swh_hex = f"substring({d.md5(s(did))} || {d.md5(s(did))}, 1, 40)"
+    cm_id = (
+        f"(CASE {did} % 6"
+        f" WHEN 0 THEN 'doi:10.5281/zx.' || {s(did)}"
+        f" WHEN 1 THEN 'swh:1:rev:' || {swh_hex}"
+        f" WHEN 2 THEN ' '"
+        f" WHEN 3 THEN 'https://doi.org/10.5281/zx.' || {s(did)}"
+        f" WHEN 4 THEN 'my software tool'"
+        f" ELSE '10.5281/zx.' || {s(did)} END)"
+    )
+
+    dl_url = f"'https://github.com/org/repo/archive/v' || {maj} || '.' || {dl_mnr} || '.tar.gz'"
+
+    homepage = (
+        f"(CASE {did} % 4"
+        f" WHEN 0 THEN 'https://github.com/org' || {s(f'{did} % 50')} || '/repo' || {s(f'{did} % 20')}"
+        f" WHEN 1 THEN 'https://proj' || {s(f'{did} % 9')} || '.github.io/docs'"
+        f" WHEN 2 THEN 'https://example.com/about'"
+        f" ELSE 'https://gitlab.com/grp' || {s(f'{did} % 9')} || '/proj' END)"
+    )
+    dev_status = (
+        f"(CASE {did} % 5"
+        f" WHEN 0 THEN 'active'"
+        f" WHEN 1 THEN 'https://www.repostatus.org/#active'"
+        f" WHEN 2 THEN 'www.example.com/status'"
+        f" WHEN 3 THEN 'inactive'"
+        f" ELSE 'see docs.example.org/page' END)"
+    )
+    lic_name = (
+        f"(CASE {did} % 6"
+        f" WHEN 0 THEN 'GPL' WHEN 1 THEN 'GPL-3.0' WHEN 2 THEN 'Apache License'"
+        f" WHEN 3 THEN 'Apache-2.0' WHEN 4 THEN 'MIT' ELSE 'CC-BY' END)"
+    )
+    lic_path = (
+        f"(CASE {did} % 5"
+        f" WHEN 0 THEN './LICENSE.md' WHEN 1 THEN 'docs/license.txt'"
+        f" WHEN 2 THEN 'https://opensource.org/licenses/MIT'"
+        f" WHEN 3 THEN 'LICENSE' ELSE 'COPYING.rst' END)"
+    )
+    lic_text = (
+        f"(CASE {did} % 10"
+        f" WHEN 0 THEN 'dual licensed under the MIT license or the Apache License 2.0'"
+        f" WHEN 3 THEN 'copyright <year> <copyright holders> permission is granted'"
+        f" WHEN 4 THEN 'copyright (c) 2024 example authors'"
+        f" ELSE 'permission is hereby granted, free of charge, to any person'"
+        f" END)"
+    )
+    given_name = (
+        f"(CASE WHEN {did} % 8 = 0"
+        f" THEN '[ann' || {s(did)} || ', bob' || {s(did)} || ']'"
+        f" ELSE 'ann' || {s(did)} END)"
+    )
+    py_ver = f"(CASE WHEN {did} % 2 = 0 THEN '3.' || {mnr} ELSE NULL END)"
+    req3 = f"(CASE WHEN {did} % 10 = 0 THEN 'reqa  reqb' ELSE 'req3' END)"
+
+    ref_pub = (
+        f"(CASE {did} % 8"
+        f" WHEN 0 THEN 'https://zenodo.org/record/' || {s(did)}"
+        f" WHEN 1 THEN 'https://doi.org/10.5281/zenodo.' || {s(did)}"
+        f" WHEN 2 THEN 'https://github.com/org/repo/releases/tag/v1.' || {s(f'{did} % 10')}"
+        f" WHEN 3 THEN 'https://sourceforge.net/projects/p' || {s(did)}"
+        f" WHEN 4 THEN 'https://archive.org/details/x' || {s(did)}"
+        f" WHEN 5 THEN 'https://codeocean.com/capsule/' || {s(did)}"
+        f" WHEN 6 THEN 'https://osf.io/abc' || {s(f'{did} % 10')}"
+        f" ELSE 'https://journals.example.org/article/' || {s(did)} END)"
+    )
+
+    cp, gha, fe = _q("code_parser"), _q("GitHub_API"), _q("file_exploration")
+    cmj, pkg, ghs = _q("codemeta.json"), _q("package.json"), _q("github_api")
+    base = d.arr(
+        d.struct(cmj, cp, _q("version"), cm_ver),
+        d.struct(pkg, cp, _q("version"), pkg_ver),
+        d.struct(_q("github_releases"), gha, _q("release"), rel_ver),
+        d.struct(ghs, gha, _q("code_repository"), api_url),
+        d.struct(cmj, cp, _q("code_repository"), cm_url),
+        d.struct(ghs, gha, _q("date_updated"), gh_date),
+        d.struct(cmj, cp, _q("date_modified"), cm_date),
+        d.struct(ghs, gha, _q("authors"), authors_gh),
+        d.struct(cmj, cp, _q("authors"), authors_cm),
+        d.struct(cmj, cp, _q("identifier"), cm_id),
+        d.struct(ghs, gha, _q("download_url"), dl_url),
+        d.struct(ghs, gha, _q("homepage"), homepage),
+        d.struct(cmj, cp, _q("development_status"), dev_status),
+        d.struct(_q("LICENSE"), fe, _q("license"), lic_name),
+        d.struct(cmj, cp, _q("license"), _q("MIT")),
+        d.struct(cmj, cp, _q("license_path"), lic_path),
+        d.struct(_q("LICENSE"), fe, _q("license_text"), lic_text),
+        d.struct(cmj, cp, _q("given_name"), given_name),
+        d.struct(cmj, cp, _q("prog_lang"), _q("python"), py_ver),
+        d.struct(cmj, cp, _q("prog_lang"), _q("java"), "'17'"),
+        d.struct(_q("requirements.txt"), cp, _q("requirement"), _q("req1"),
+                 f"(CASE WHEN ({did} + 1) % 2 = 0 THEN '1.0' ELSE NULL END)"),
+        d.struct(_q("requirements.txt"), cp, _q("requirement"), _q("req2"),
+                 f"(CASE WHEN {did} % 4 < 2 THEN '2.1' ELSE NULL END)"),
+        d.struct(_q("requirements.txt"), cp, _q("requirement"), req3,
+                 f"(CASE WHEN {did} % 5 > 0 THEN '0.9' ELSE NULL END)"),
+    )
+
+    def cond_arr(cond: str, *entries: str) -> str:
+        return f"(CASE WHEN {cond} THEN {d.arr(*entries)} ELSE {d.empty_ev()} END)"
+
+    cca = _q("CITATION.cff")
+    return d.concat_arr(
+        base,
+        cond_arr(f"{did} % 2 = 0",
+                 d.struct(cmj, cp, _q("reference_publication"), ref_pub)),
+        cond_arr(f"{did} % 3 > 0", d.struct(cca, fe, _q("citation"), _q("present"))),
+        cond_arr(f"{did} % 5 = 0",
+                 d.struct(cca, fe, _q("reference_publication"), _q("cff-ref"))),
+        cond_arr(f"{did} % 4 = 0",
+                 d.struct(_q("zenodo.json"), cp, _q("identifier"),
+                          f"'https://doi.org/10.5281/zen.' || {s(did)}")),
+        cond_arr(f"{did} % 14 = 0", d.struct(cmj, cp, _q("license"), _q("Apache-2.0"))),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Detector flag expressions over the `ev` column (shared across queries)
+# ---------------------------------------------------------------------------
+
+
+def _vstrip(d: Dia, x: str) -> str:
+    return d.rreplace(f"trim({x})", "^[vV]", "")
+
+
+def flags_versions(d: Dia) -> dict[str, str]:
+    """P001 / P017 / P012: cross-evidence version comparison family."""
+    cm = d.first(d.filter("ev", "e -> e.src = 'codemeta.json' AND e.k = 'version'")) + ".v"
+    rel = d.first(d.filter("ev", "e -> e.k = 'release'")) + ".v"
+    others = d.transform(
+        d.filter("ev", "e -> e.k = 'version' AND e.src <> 'codemeta.json'"), "e -> e.v"
+    )
+    dl = d.first(d.filter("ev", "e -> e.k = 'download_url'")) + ".v"
+    url_ver = d.rextract(dl, "archive/v([0-9]+\\.[0-9]+)")
+    return {
+        "cm_ver": cm,
+        "rel_ver": rel,
+        "url_ver": url_ver,
+        "p001": d.flag(f"{_vstrip(d, cm)} <> {_vstrip(d, rel)}"),
+        "p017": d.flag(d.exists(others, f"o -> trim(o) <> trim({cm})")),
+        "p012": d.flag(f"{url_ver} <> {_vstrip(d, rel)}"),
+    }
+
+
+def _norm_url(d: Dia, u: str) -> str:
+    """P016's normalization chain (p016.py:4-21): lowercase, rewrite
+    git@host:path -> https://host/path, strip trailing / and .git."""
+    x = f"lower(trim({u}))"
+    x = d.rreplace(x, "^git@([a-z0-9.-]+):", "https://$G1/")
+    x = d.rreplace(x, "/$", "")
+    x = d.rreplace(x, "\\.git$", "")
+    return x
+
+
+def flags_repo_urls(d: Dia) -> dict[str, str]:
+    """P016 / W010: repo-URL normalization + within-row compare."""
+    api = d.first(
+        d.filter("ev", "e -> e.tech = 'GitHub_API' AND e.k = 'code_repository'")
+    ) + ".v"
+    cms = d.transform(
+        d.filter("ev", "e -> e.src = 'codemeta.json' AND e.k = 'code_repository'"),
+        "e -> e.v",
+    )
+    shorthand = "^[a-z0-9._-]+@[a-z0-9.-]+:[A-Za-z0-9._/-]+$"
+    return {
+        "api_norm": _norm_url(d, api),
+        "p016": d.flag(d.exists(cms, f"u -> {_norm_url(d, 'u')} <> {_norm_url(d, api)}")),
+        "w010": d.flag(d.exists(
+            cms, f"u -> u NOT LIKE 'http%' AND {d.rlike('u', shorthand)}"
+        )),
+    }
+
+
+def flags_authors(d: Dia) -> dict[str, str]:
+    """P019 / P003 / W008: author-count and author-format family."""
+    entries = d.filter("ev", "e -> e.k = 'authors'")
+    counts = d.transform(entries, f"e -> {d.size(d.split_plain('e.v', ','))}")
+    g = d.first(d.filter("ev", "e -> e.k = 'given_name'")) + ".v"
+    bracket = d.rextract(g, "\\[([^\\]]+)\\]")
+    return {
+        "min_authors": d.amin(counts),
+        "max_authors": d.amax(counts),
+        "p019": d.flag(f"{d.size(d.distinct(counts))} > 1"),
+        "p003": d.flag(d.exists(entries, f"e -> {d.rlike('e.v', '(,| and | & |;)')}")),
+        "w008": d.flag(
+            f"coalesce({bracket}, '') <> ''"
+            f" AND {d.size(d.split_plain(bracket, ','))} > 1"
+        ),
+    }
+
+
+def flags_dates(d: Dia) -> dict[str, str]:
+    """W002: multi-format date parse + day-delta threshold."""
+    gh = d.first(d.filter("ev", "e -> e.k = 'date_updated'")) + ".v"
+    cm = d.first(d.filter("ev", "e -> e.k = 'date_modified'")) + ".v"
+    gh_ts, cm_ts = d.ts_parse(gh), d.ts_parse(cm)
+    delta = d.date_diff_days(cm_ts, gh_ts)
+    return {
+        "delta_days": f"CAST({delta} AS int)",
+        "w002": d.flag(f"{gh_ts} > {cm_ts} AND {delta} > 1"),
+    }
+
+
+def flags_identifiers(d: Dia) -> dict[str, str]:
+    """P014 / P018 / W006 / W007: identifier validity family."""
+    cmid = d.first(
+        d.filter("ev", "e -> e.src = 'codemeta.json' AND e.k = 'identifier'")
+    ) + ".v"
+    doi = "^(doi:)?10\\.[0-9]+/"
+    swh = "^swh:1:[a-z]+:[a-f0-9]{40}$"
+
+    def valid(x: str) -> str:
+        return f"({d.rlike(x, '^https?://')} OR {d.rlike(x, doi)})"
+
+    other_valid = d.exists(
+        d.filter("ev", "e -> e.k = 'identifier' AND e.src <> 'codemeta.json'"),
+        f"e -> {valid('e.v')}",
+    )
+    return {
+        "p014": d.flag(
+            f"{d.rlike(cmid, doi)} AND {cmid} NOT LIKE 'https://doi.org/%'"
+        ),
+        "p018": d.flag(d.rlike(cmid, swh)),
+        "w007": d.flag(f"trim({cmid}) = ''"),
+        "w006": d.flag(f"NOT {valid(cmid)} AND {other_valid}"),
+    }
+
+
+def flags_url_classes(d: Dia) -> dict[str, str]:
+    """P007 exists-algebra, P005 archive classifier, P009 homepage-is-repo,
+    W009 value-is-URL."""
+    b1 = d.exists("ev", "e -> e.src = 'codemeta.json' AND e.k = 'reference_publication'")
+    b2 = d.exists("ev", "e -> e.src = 'CITATION.cff'")
+    b3 = d.exists("ev", "e -> e.src = 'CITATION.cff' AND e.k = 'reference_publication'")
+    rp = d.first(d.filter(
+        "ev", "e -> e.src = 'codemeta.json' AND e.k = 'reference_publication'"
+    )) + ".v"
+    archive = ("(zenodo\\.org|figshare|github\\.com/.+/releases|sourceforge\\.net"
+               "|archive\\.org|codeocean\\.com|osf\\.io|doi\\.org/10\\.5281)")
+    hp = d.first(d.filter("ev", "e -> e.k = 'homepage'")) + ".v"
+    ds = d.first(d.filter("ev", "e -> e.k = 'development_status'")) + ".v"
+    return {
+        "p007": d.flag(f"{b1} AND {b2} AND NOT {b3}"),
+        "p005": d.flag(d.rlike(f"coalesce({rp}, '')", archive)),
+        "p009": d.flag(d.rlike(hp, "^https://(github|gitlab)\\.com/[^/]+/[^/]+/?$")),
+        "w009": d.flag(
+            d.rlike(ds, "^https?://") + " OR " + d.rlike(ds, "^www\\.")
+            + " OR " + d.rlike(ds, "\\.(org|com|net)/")
+        ),
+    }
+
+
+def flags_licenses(d: Dia) -> dict[str, str]:
+    """P006 local-path when-chain, P013 rlike pairs, W003 conditional
+    count, P002 placeholders, P010 copyright-only."""
+    lpath = d.first(d.filter("ev", "e -> e.k = 'license_path'")) + ".v"
+    lname = d.first(d.filter(
+        "ev", "e -> e.k = 'license' AND e.src = 'LICENSE'"
+    )) + ".v"
+    ltext = d.first(d.filter("ev", "e -> e.k = 'license_text'")) + ".v"
+    n_cm_lic = d.size(d.filter(
+        "ev", "e -> e.k = 'license' AND e.src = 'codemeta.json'"
+    ))
+    suffix_rx = d.rlike(lpath, "\\.(md|txt|rst)$")
+    p006 = (
+        f"NOT {d.rlike(lpath, '^https?://')} AND ("
+        f"{lpath} LIKE './%' OR {lpath} LIKE '../%'"
+        f" OR {lpath} LIKE '%/%'"
+        f" OR {lpath} IN ('LICENSE', 'COPYING', 'LICENSE.txt')"
+        f" OR {suffix_rx})"
+    )
+    fam = lambda name, versioned: (  # noqa: E731
+        f"({d.rlike(lname, name)} AND NOT {d.rlike(lname, versioned)})"
+    )
+    p013 = " OR ".join([
+        fam("GPL", "GPL[- ]?[0-9]"),
+        fam("Apache", "Apache[- ][0-9]"),
+        fam("CC-BY", "CC-BY[- ][0-9]"),
+    ])
+    return {
+        "p006": d.flag(p006),
+        "p013": d.flag(p013),
+        "w003": d.flag(
+            f"{d.rlike(ltext, '(dual licensed|licensed under .+ or )')}"
+            f" AND {n_cm_lic} <= 1"
+        ),
+        "p002": d.flag(d.rlike(
+            ltext, "(<year>|<copyright holders>|<program>|\\[fullname\\]|\\[year\\])"
+        )),
+        "p010": d.flag(
+            f"{d.rlike(ltext, 'copyright')}"
+            f" AND NOT {d.rlike(ltext, '(permission|license|warranty|granted)')}"
+        ),
+    }
+
+
+def flags_unversioned(d: Dia) -> dict[str, str]:
+    """W001 ratio, W004 null-version transform, W005 multi-req split."""
+    reqs = d.filter("ev", "e -> e.k = 'requirement'")
+    unv = d.size(d.filter(reqs, "e -> e.ver IS NULL"))
+    # coalesce: DuckDB's array_to_string of an empty list is NULL, Spark's
+    # array_join is '' — pin the empty case to ''
+    w004_names = "coalesce(" + d.join_str(
+        d.transform(
+            d.filter("ev", "e -> e.k = 'prog_lang' AND e.ver IS NULL"), "e -> e.v"
+        ),
+        ",",
+    ) + ", '')"
+    return {
+        "n_unversioned": unv,
+        "unv_pct": f"round(100.0 * {unv} / {d.size(reqs)}, 2)",
+        "w001": d.flag(f"{unv} >= 1"),
+        "w004_names": w004_names,
+        "w005": d.flag(d.exists(
+            reqs, f"e -> {d.size(d.split_rx('e.v', ' {2,}'))} > 1"
+        )),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Query builders: Spark impl + DuckDB oracle from the same flag dicts
+# ---------------------------------------------------------------------------
+
+_FAMILIES: dict[str, Callable[[Dia], dict[str, str]]] = {
+    "ev01_version_rules": flags_versions,
+    "ev02_repo_url_rules": flags_repo_urls,
+    "ev03_author_rules": flags_authors,
+    "ev04_date_rules": flags_dates,
+    "ev05_identifier_rules": flags_identifiers,
+    "ev06_url_class_rules": flags_url_classes,
+    "ev07_license_rules": flags_licenses,
+    "ev08_version_presence_rules": flags_unversioned,
+}
+
+
+def _spark_ev_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.selectExpr("doc_id", f"{ev_expr(SPARK)} AS ev")
+
+
+def _make_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        flags = _FAMILIES[name](SPARK)
+        return _spark_ev_df(spark, sf_dir).selectExpr(
+            "doc_id", *[f"{expr} AS {alias}" for alias, expr in flags.items()]
+        )
+
+    q.__name__ = name
+    q.__doc__ = _FAMILIES[name].__doc__
+    return q
+
+
+def _make_sql(name: str) -> str:
+    flags = _FAMILIES[name](DUCK)
+    cols = ", ".join(f"{expr} AS {alias}" for alias, expr in flags.items())
+    return (
+        f"WITH evd AS (SELECT doc_id, {ev_expr(DUCK)} AS ev FROM documents)\n"
+        f"SELECT doc_id, {cols} FROM evd"
+    )
+
+
+# The A1/A2 aggregate over the evidence model (per-rule hit count + pct),
+# unioning every detector family in one pass — the evidence-model analog of
+# detect_pitfalls_main.py:385-394.
+_EV_RULE_FLAGS = (
+    ("ev01_version_rules", ("p001", "p012", "p017")),
+    ("ev02_repo_url_rules", ("p016", "w010")),
+    ("ev03_author_rules", ("p003", "p019", "w008")),
+    ("ev04_date_rules", ("w002",)),
+    ("ev05_identifier_rules", ("p014", "p018", "w006", "w007")),
+    ("ev06_url_class_rules", ("p005", "p007", "p009", "w009")),
+    ("ev07_license_rules", ("p002", "p006", "p010", "p013", "w003")),
+    ("ev08_version_presence_rules", ("w001", "w004", "w005")),
+)
+
+
+def _all_rule_exprs(d: Dia) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for fam_name, rules in _EV_RULE_FLAGS:
+        flags = _FAMILIES[fam_name](d)
+        for r in rules:
+            if r == "w004":
+                out[r] = d.flag(f"{flags['w004_names']} <> ''")
+            else:
+                out[r] = flags[r]
+    return out
+
+
+def ev09_rule_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule hit counts + percentage over the evidence model (A1/A2
+    shape, detect_pitfalls_main.py:385-394): every detector family
+    evaluated in ONE scan, aggregated with map-side combine, unpivoted to
+    (rule, hits, pct)."""
+    from pyspark.sql import functions as F
+
+    exprs = _all_rule_exprs(SPARK)
+    ev = _spark_ev_df(spark, sf_dir).selectExpr(
+        *[f"{e} AS {r}" for r, e in exprs.items()]
+    )
+    agg = ev.agg(
+        F.count("*").alias("total"),
+        *[F.sum(r).alias(f"h_{r}") for r in exprs],
+    )
+    pairs = F.array(*[
+        F.struct(F.lit(r).alias("rule"), F.col(f"h_{r}").alias("hits"))
+        for r in exprs
+    ])
+    return agg.select(F.explode(pairs).alias("e"), "total").select(
+        F.col("e.rule").alias("rule"),
+        F.col("e.hits").alias("hits"),
+        F.round(100.0 * F.col("e.hits") / F.col("total"), 2).alias("pct"),
+    )
+
+
+def _sql_ev09() -> str:
+    exprs = _all_rule_exprs(DUCK)
+    cols = ", ".join(f"SUM({e}) AS h_{r}" for r, e in exprs.items())
+    unions = "\nUNION ALL ".join(
+        f"SELECT '{r}' AS rule, CAST(h_{r} AS BIGINT) AS hits,"
+        f" ROUND(100.0 * h_{r} / total, 2) AS pct FROM a"
+        for r in exprs
+    )
+    return (
+        f"WITH evd AS (SELECT doc_id, {ev_expr(DUCK)} AS ev FROM documents),\n"
+        f"a AS (SELECT COUNT(*) AS total, {cols} FROM evd)\n{unions}"
+    )
+
+
+def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]]:
+    reg = {name: (_make_query(name), _make_sql(name)) for name in _FAMILIES}
+    reg["ev09_rule_summary"] = (ev09_rule_summary, _sql_ev09())
+    return reg

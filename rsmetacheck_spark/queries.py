@@ -1268,3 +1268,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q21b_median_grouped_udaf": (q21b_median_grouped_udaf, SQL_Q21),
     "q22_rolling_hash": (q22_rolling_hash, _sql_q22()),
 }
+
+# Evidence-document model: array<struct> cross-evidence detector family
+# (SURVEY §1.1/§2.3; rsmetacheck_spark/evidence.py)
+from .evidence import registry as _ev_registry  # noqa: E402
+
+REGISTRY.update(_ev_registry())
