@@ -43,7 +43,7 @@ BENCH_QUERIES = (
     "q16_setops", "q17_asof_join", "q19_ivf_centroids", "q20_quality_score",
     "q21_median_chars_by_source", "q22_rolling_hash",
     "dd05_embedding_pairs", "sim01_ann_topk", "sim02_ann_lsh_topk",
-    "ev09_rule_summary",
+    "sim03_ivf_search", "sim04_batch_knn", "ev09_rule_summary",
 )
 
 # pages per sf unit: sf0.1 -> 20k docs (avg doc ~1.7 KB text -> ~35 MB text)

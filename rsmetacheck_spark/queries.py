@@ -969,6 +969,80 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
 """
 
 
+SIM04_TABLES = 4
+SIM04_PLANES = 4
+SIM04_K = 3
+SIM04_NQ = 20
+
+
+def sim04_batch_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch kNN: EVERY query vector (vec_id < 20) gets its top-3 cosine
+    neighbors among its LSH-bucket candidates — the all-queries-at-once
+    kNN join (sim01/sim02 answer one query; a training pipeline labels
+    the whole corpus). Plan: unit vectors (shared dd05 checkpoint) ->
+    multi-table bucket explode -> query-side x corpus-side equi-join on
+    bucket_key -> distinct (query, candidate) -> exact dot product ->
+    per-query top-k via window rank. Shuffles move (bucket_key, vec_id)
+    pairs and k rows per query — never a query x corpus product."""
+    norm = "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
+    e = _t(spark, sf, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS double)) AS v"
+    ).selectExpr("vec_id", f"transform(v, x -> x / {norm}) AS u")
+    mat = _checkpoint(e, "dd05_unit", key=f"dd05_unit:{sf}")
+    tbl_exprs = []
+    for tbl in range(SIM04_TABLES):
+        b_spark, _ = _bucket_exprs("u", n_planes=SIM04_PLANES, seed=377 + tbl)
+        tbl_exprs.append(f"concat('{tbl}:', {b_spark})")
+    bkts = mat.selectExpr(
+        "vec_id", f"explode(array({', '.join(tbl_exprs)})) AS bucket_key"
+    )
+    qb = bkts.filter(F.col("vec_id") < SIM04_NQ)
+    cand = (
+        qb.alias("q").join(
+            bkts.alias("c"),
+            (F.col("q.bucket_key") == F.col("c.bucket_key"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(F.col("q.vec_id").alias("qid"), F.col("c.vec_id").alias("nid"))
+        .distinct()
+    )
+    dot = "aggregate(zip_with(qu, nu, (x, y) -> x * y), CAST(0 AS double), (acc, x) -> acc + x)"
+    scored = (
+        cand.join(mat.selectExpr("vec_id AS qid", "u AS qu"), "qid")
+        .join(mat.selectExpr("vec_id AS nid", "u AS nu"), "nid")
+        .selectExpr("qid", "nid", f"round({dot}, 6) AS cos_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SIM04_K)
+        .select("qid", "rk", "nid", "cos_sim")
+    )
+
+
+def _sql_sim04() -> str:
+    tbl_exprs = []
+    for tbl in range(SIM04_TABLES):
+        _, b_duck = _bucket_exprs("u", n_planes=SIM04_PLANES, seed=377 + tbl)
+        tbl_exprs.append(f"'{tbl}:' || {b_duck}")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+un AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e),
+bkts AS (SELECT vec_id, unnest([{', '.join(tbl_exprs)}]) AS bucket_key FROM un),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+  FROM bkts q JOIN bkts c ON q.bucket_key = c.bucket_key AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {SIM04_NQ}),
+scored AS (
+  SELECT qid, nid, ROUND(list_dot_product(qu.u, cu.u), 6) AS cos_sim
+  FROM cand JOIN un qu ON cand.qid = qu.vec_id JOIN un cu ON cand.nid = cu.vec_id)
+SELECT qid, CAST(rk AS INTEGER) AS rk, nid, cos_sim FROM (
+  SELECT qid, nid, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) AS rk
+  FROM scored) WHERE rk <= {SIM04_K}
+"""
+
+
 def mm01_media_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing smoke: synth media -> mapInPandas features.
     No SQL oracle (binary decode is engine-side); driver records rows-only."""
@@ -1136,27 +1210,44 @@ SELECT purchase_id, click_id, strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS click_ts FR
 # ---------------------------------------------------------------------------
 
 
-def q19_ivf_centroids(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF coarse-quantizer step: per-label centroid + the assignment
-    residual summary. At scale: one partial-aggregated groupBy(label) over
-    element-wise vector sums (no shuffle of raw vectors beyond the partial
-    rows), then a broadcast join back for residuals."""
-    e = _t(spark, sf, "embeddings").selectExpr(
+def _ivf_embed(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "embeddings").selectExpr(
         "vec_id", "label", "transform(embedding, x -> CAST(x AS double)) AS v"
     )
-    # element-wise sum via aggregate over a zipped fold is per-row work;
-    # the groupBy uses posexplode -> (label, pos) partial sums (64 keys/label)
+
+
+def _ivf_centroid_df(e: DataFrame) -> DataFrame:
+    """Per-label centroid vectors via posexplode -> (label, pos) partial
+    sums (64 keys/label; decimal for order-independent exactness)."""
     comp = e.selectExpr("label", "posexplode(v) AS (pos, x)")
     cent = (
         comp.groupBy("label", "pos")
         .agg(F.sum(F.col("x").cast("decimal(28,10)")).alias("s"), F.count("*").alias("n"))
         .selectExpr("label", "pos", "CAST(s / n AS double) AS c")
     )
-    cent_vec = (
+    return (
         cent.groupBy("label")
         .agg(F.map_from_entries(F.sort_array(F.collect_list(F.struct("pos", "c")))).alias("m"))
         .selectExpr("label", "transform(sequence(0, 63), i -> m[i]) AS centroid")
     )
+
+
+# the centroid CTE chain, reusable by q19 and sim03 oracles
+_SQL_IVF_CENT_CTES = """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+comp AS (SELECT label, gs.i - 1 AS pos, v[gs.i] AS x
+         FROM e, generate_series(1, 64) AS gs(i)),
+cent AS (SELECT label, pos, CAST(SUM(CAST(x AS DECIMAL(28,10))) / COUNT(*) AS DOUBLE) AS c
+         FROM comp GROUP BY label, pos),
+cv AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label)"""
+
+
+def q19_ivf_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse-quantizer step: per-label centroid + the assignment
+    residual summary. At scale: one partial-aggregated groupBy(label) over
+    element-wise vector sums (no shuffle of raw vectors beyond the partial
+    rows), then a broadcast join back for residuals."""
+    e = _ivf_embed(spark, sf)
+    cent_vec = _ivf_centroid_df(e)
     j = e.join(F.broadcast(cent_vec), "label")
     dist = (
         "sqrt(aggregate(zip_with(v, centroid, (a, b) -> (a - b) * (a - b)),"
@@ -1173,13 +1264,8 @@ def q19_ivf_centroids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_Q19 = """
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-comp AS (SELECT label, gs.i - 1 AS pos, v[gs.i] AS x
-         FROM e, generate_series(1, 64) AS gs(i)),
-cent AS (SELECT label, pos, CAST(SUM(CAST(x AS DECIMAL(28,10))) / COUNT(*) AS DOUBLE) AS c
-         FROM comp GROUP BY label, pos),
-cv AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label),
+SQL_Q19 = f"""
+WITH {_SQL_IVF_CENT_CTES},
 d AS (SELECT e.label,
              sqrt(list_sum(list_transform(generate_series(1, 64),
                   i -> (v[i] - centroid[i]) * (v[i] - centroid[i])))) AS d
@@ -1187,6 +1273,56 @@ d AS (SELECT e.label,
 SELECT label, COUNT(*) AS n_vecs,
        CAST(ROUND(SUM(CAST(d AS DECIMAL(28,10))) / COUNT(*), 6) AS DOUBLE) AS mean_dist
 FROM d GROUP BY label
+"""
+
+
+def sim03_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF SEARCH completing q19's build step: assign the query vector
+    (vec_id=0) to its nearest coarse centroid (10 tiny rows — broadcast),
+    then scan ONLY that cell's vectors (nprobe=1) for the top-10 by L2.
+    At scale the corpus is partitioned by assigned label (the IVF lists),
+    so the probe is a partition-pruned scan of corpus/n_cells rows — the
+    point of IVF; no distance is computed outside the probed cell."""
+    e = _ivf_embed(spark, sf)
+    cent_vec = _ivf_centroid_df(e)
+    q = e.filter(F.col("vec_id") == 0).selectExpr("v AS qv")
+    dist_c = (
+        "sqrt(aggregate(zip_with(centroid, qv, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS double), (acc, x) -> acc + x))"
+    )
+    best = (
+        cent_vec.crossJoin(F.broadcast(q))
+        .selectExpr("label", "qv", f"{dist_c} AS dc")
+        .orderBy(F.col("dc").asc(), F.col("label").asc())
+        .limit(1)
+    )
+    dist_v = (
+        "sqrt(aggregate(zip_with(v, qv, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS double), (acc, x) -> acc + x))"
+    )
+    return (
+        e.join(F.broadcast(best), "label")
+        .filter(F.col("vec_id") != 0)
+        .selectExpr("vec_id", "label", f"round({dist_v}, 6) AS dist")
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+SQL_SIM03 = f"""
+WITH {_SQL_IVF_CENT_CTES},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+best AS (
+  SELECT label, qv,
+         sqrt(list_sum(list_transform(generate_series(1, 64),
+              i -> (centroid[i] - qv[i]) * (centroid[i] - qv[i])))) AS dc
+  FROM cv, q ORDER BY dc ASC, label ASC LIMIT 1)
+SELECT vec_id, e.label,
+       ROUND(sqrt(list_sum(list_transform(generate_series(1, 64),
+             i -> (v[i] - qv[i]) * (v[i] - qv[i])))), 6) AS dist
+FROM e JOIN best ON e.label = best.label
+WHERE vec_id <> 0
+ORDER BY dist ASC, vec_id ASC LIMIT 10
 """
 
 
@@ -1338,6 +1474,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dd05_embedding_pairs": (dd05_embedding_pairs, _sql_dd05()),
     "sim01_ann_topk": (sim01_ann_topk, SQL_SIM01),
     "sim02_ann_lsh_topk": (sim02_ann_lsh_topk, _sql_sim02()),
+    "sim03_ivf_search": (sim03_ivf_search, SQL_SIM03),
+    "sim04_batch_knn": (sim04_batch_knn, _sql_sim04()),
     "mm01_media_features": (mm01_media_features, None),
     "q13_props_json": (q13_props_json, SQL_Q13),
     "q14_rollup_docs": (q14_rollup_docs, SQL_Q14),
