@@ -23,8 +23,8 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_COLS = (
-    "n_bytes int, sha1 string, mean_byte double, frame_count int, "
-    "feat_error string"
+    "n_bytes int, sha256 string, sum_bytes long, mean_byte double, "
+    "frame_count int, feat_error string"
 )
 
 _REAL_CODECS = False  # flipped when PIL/librosa are present
@@ -46,7 +46,10 @@ def decode_stub(payload: bytes, kind: str) -> dict:
         raise ValueError(f"unknown media kind: {kind}")
     return {
         "n_bytes": len(b),
-        "sha1": hashlib.sha1(b).hexdigest(),
+        # checksum is over the payload's lowercase-hex TEXT so an ANSI-SQL
+        # oracle (DuckDB sha256 is VARCHAR-only) can recompute it
+        "sha256": hashlib.sha256(b.hex().encode()).hexdigest(),
+        "sum_bytes": sum(b),
         "mean_byte": round(sum(b) / len(b), 6) if b else 0.0,
         "frame_count": 1 if kind == "image" else max(len(b) // 256, 1),
     }
@@ -62,8 +65,9 @@ def extract_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             n = len(pdf)
             out = {
-                "n_bytes": [0] * n, "sha1": [""] * n, "mean_byte": [0.0] * n,
-                "frame_count": [0] * n, "feat_error": [None] * n,
+                "n_bytes": [0] * n, "sha256": [""] * n, "sum_bytes": [0] * n,
+                "mean_byte": [0.0] * n, "frame_count": [0] * n,
+                "feat_error": [None] * n,
             }
             for i, (payload, kind) in enumerate(zip(pdf["payload"], pdf["kind"])):
                 try:
@@ -113,3 +117,46 @@ def synth_media(spark, n: int = 200, seed: int = 5) -> DataFrame:
         .mapInPandas(gen, MEDIA_SCHEMA)
         .withColumn("kind", F.col("kind"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined deterministic media derived from the documents table:
+# payload = md5-chain bytes keyed by (seed, media_id), so an ANSI-SQL oracle
+# can rebuild the exact payload hex and cross-check every feature — this is
+# what upgrades mm01 from a rows-only check to a fully oracle-checked query.
+# ---------------------------------------------------------------------------
+
+MEDIA_SEED = 5
+
+
+def payload_hex_chain(media_id: int, seed: int = MEDIA_SEED) -> tuple[str, int]:
+    """(payload_hex, size): size = 64 + (md5-int % 1985); payload = the
+    first `size` bytes of concat(md5(f"{seed}:{id}:{block}") digests)."""
+    h = int(hashlib.md5(f"{seed}:{media_id}:sz".encode()).hexdigest()[:8], 16)
+    size = 64 + h % 1985
+    n_blk = (size + 15) // 16
+    hexfull = "".join(
+        hashlib.md5(f"{seed}:{media_id}:{b}".encode()).hexdigest()
+        for b in range(n_blk)
+    )
+    return hexfull[: 2 * size], size
+
+
+def synth_media_from_docs(docs: DataFrame, seed: int = MEDIA_SEED) -> DataFrame:
+    """documents -> media rows (media_id = doc_id) with md5-chain payloads."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                mid = int(i)
+                phex, size = payload_hex_chain(mid, seed)
+                kind = ("image", "audio", "video")[mid % 3]
+                w = 8 + int(hashlib.md5(f"{seed}:{mid}:w".encode()).hexdigest()[:8], 16) % 504
+                h = 8 + int(hashlib.md5(f"{seed}:{mid}:h".encode()).hexdigest()[:8], 16) % 504
+                rows.append((mid, kind, bytes.fromhex(phex), w, h))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "width", "height"]
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

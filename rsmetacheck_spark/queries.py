@@ -1044,20 +1044,50 @@ SELECT qid, CAST(rk AS INTEGER) AS rk, nid, cos_sim FROM (
 
 
 def mm01_media_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal plumbing smoke: synth media -> mapInPandas features.
-    No SQL oracle (binary decode is engine-side); driver records rows-only."""
-    from .operators.multimodal import extract_features, synth_media
+    """Multimodal decode plumbing, ORACLE-CHECKED: media rows are derived
+    from the documents table with content-defined md5-chain payloads
+    (multimodal.payload_hex_chain), decoded by the Arrow-batched
+    mapInPandas feature stage; the DuckDB oracle rebuilds the exact
+    payload hex in SQL and recomputes every feature (byte count, sha256
+    of the hex text, exact byte sum, frame count) — so the binary decode
+    path itself is correctness-gated, not just row-counted."""
+    from .operators.multimodal import extract_features, synth_media_from_docs
 
-    base = os.path.basename(sf.rstrip("/"))
-    try:
-        sfv = float(base.replace("sf", ""))
-    except ValueError:
-        sfv = 0.01
-    n = 500 if sfv >= 0.1 else 200
-    feats = extract_features(synth_media(spark, n=n))
+    docs = _t(spark, sf, "documents")
+    feats = extract_features(synth_media_from_docs(docs))
     return feats.select(
-        "media_id", "kind", "n_bytes", "sha1", "mean_byte", "frame_count"
+        "media_id", "kind", "n_bytes", "sha256", "sum_bytes", "frame_count"
     )
+
+
+def _sql_mm01() -> str:
+    hex2int = (
+        "CAST(list_sum(list_transform(generate_series(1, 8), j ->"
+        " CAST(strpos('0123456789abcdef', substring({h}, CAST(j AS INTEGER), 1)) - 1 AS BIGINT)"
+        " << ((8 - CAST(j AS INTEGER)) * 4))) AS BIGINT)"
+    )
+    sz_md5 = "md5('5:' || CAST(doc_id AS VARCHAR) || ':sz')"
+    nib = "strpos('0123456789abcdef', substring(phex, 2 * CAST(j AS INTEGER) - {o}, 1)) - 1"
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) AS kind,
+         64 + ({hex2int.format(h=f'substring({sz_md5}, 1, 8)')} % 1985) AS size
+  FROM documents),
+p AS (
+  SELECT media_id, kind, size,
+         substring(array_to_string(list_transform(
+             generate_series(0, CAST((size + 15) // 16 AS INTEGER) - 1),
+             b -> md5('5:' || CAST(media_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))), ''),
+           1, CAST(2 * size AS INTEGER)) AS phex
+  FROM m)
+SELECT media_id, kind, CAST(size AS INTEGER) AS n_bytes,
+       sha256(phex) AS sha256,
+       CAST(list_sum(list_transform(generate_series(1, CAST(size AS INTEGER)),
+            j -> ({nib.format(o=1)}) * 16 + ({nib.format(o=0)}))) AS BIGINT) AS sum_bytes,
+       CAST(CASE WHEN kind = 'image' THEN 1 ELSE greatest(size // 256, 1) END AS INTEGER) AS frame_count
+FROM p
+"""
 
 
 
@@ -1476,7 +1506,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sim02_ann_lsh_topk": (sim02_ann_lsh_topk, _sql_sim02()),
     "sim03_ivf_search": (sim03_ivf_search, SQL_SIM03),
     "sim04_batch_knn": (sim04_batch_knn, _sql_sim04()),
-    "mm01_media_features": (mm01_media_features, None),
+    "mm01_media_features": (mm01_media_features, _sql_mm01()),
     "q13_props_json": (q13_props_json, SQL_Q13),
     "q14_rollup_docs": (q14_rollup_docs, SQL_Q14),
     "q15_pivot_events": (q15_pivot_events, SQL_Q15),
