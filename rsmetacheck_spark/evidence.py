@@ -471,7 +471,19 @@ def flags_identifiers(d: Dia) -> dict[str, str]:
         d.filter("ev", "e -> e.k = 'identifier' AND e.src <> 'codemeta.json'"),
         f"e -> {valid('e.v')}",
     )
+    # software-info DOI-URL promotion (json_ld_utils.py:6-50): a bare or
+    # doi:-prefixed DOI becomes its https://doi.org/ URL
+    bare_rx = d.rlike(cmid, "^10\\.[0-9]+/")
+    pref_rx = d.rlike(cmid, "^doi:10\\.[0-9]+/")
+    promoted = (
+        f"(CASE WHEN {bare_rx}"
+        f" THEN 'https://doi.org/' || {cmid}"
+        f" WHEN {pref_rx}"
+        f" THEN 'https://doi.org/' || substring({cmid}, 5)"
+        f" ELSE {cmid} END)"
+    )
     return {
+        "promoted_id": promoted,
         "p014": d.flag(
             f"{d.rlike(cmid, doi)} AND {cmid} NOT LIKE 'https://doi.org/%'"
         ),

@@ -66,3 +66,70 @@ def repo_url_normalize(u: Column) -> Column:
 def basename(path: Column) -> Column:
     """Filename from a path/url (pitfall_utils.py:74-95 fallback branch)."""
     return F.element_at(F.split(path, "/"), -1)
+
+def version_from_url(u: Column) -> Column:
+    """Version extraction from a download/archive URL (p012.py:5-30):
+    try /archive/vX.Y, /releases/tag/vX.Y, /vX.Y, then a bare X.Y(.Z)
+    anywhere — first match wins; archive extensions are stripped first."""
+    stripped = F.regexp_replace(u, r"\.(tar\.gz|tgz|zip|tar\.bz2|tar)$", "")
+    pats = (
+        r"/archive/v?(\d+(?:\.\d+)+)",
+        r"/releases/tag/v?(\d+(?:\.\d+)+)",
+        r"/v(\d+(?:\.\d+)+)(?:/|$)",
+        r"(\d+\.\d+(?:\.\d+)*)",
+    )
+    attempts = [
+        F.nullif(F.regexp_extract(stripped, p, 1), F.lit("")) for p in pats
+    ]
+    return F.coalesce(*attempts)
+
+
+def doi_promote(identifier: Column) -> Column:
+    """Software-info DOI-URL promotion (json_ld_utils.py:6-50): a bare
+    '10.x/..' or 'doi:10.x/..' identifier becomes its https://doi.org/
+    URL; anything else passes through."""
+    bare = identifier.rlike(r"^10\.\d+/")
+    prefixed = identifier.rlike(r"^doi:10\.\d+/")
+    return (
+        F.when(bare, F.concat(F.lit("https://doi.org/"), identifier))
+        .when(prefixed, F.concat(F.lit("https://doi.org/"), F.substring(identifier, 5, 10000)))
+        .otherwise(identifier)
+    )
+
+
+# language alias normalization (pitfall_utils.py:42-61): the reference
+# keeps {Python, Java, C++, C, R, Rust} and folds aliases
+_LANG_ALIASES = {
+    "python": "Python", "python3": "Python", "python2": "Python",
+    "java": "Java",
+    "cpp": "C++", "c++": "C++", "cplusplus": "C++",
+    "c": "C",
+    "r": "R",
+    "rust": "Rust",
+}
+
+
+def normalize_language_name(lang: Column) -> Column:
+    """Fold language aliases to canonical names; unknown -> NULL (the
+    reference's keep-list semantics, pitfall_utils.py:6-39)."""
+    m = F.create_map(
+        *[F.lit(x) for kv in _LANG_ALIASES.items() for x in kv]
+    )
+    return m[F.lower(F.trim(lang))]
+
+
+# the reference's 8 known metadata filenames (p001.py:18-24 et al.)
+METADATA_FILENAMES = (
+    "codemeta.json", "DESCRIPTION", "composer.json", "package.json",
+    "pom.xml", "pyproject.toml", "requirements.txt", "setup.py",
+)
+
+
+def extract_metadata_source_filename(source: Column) -> Column:
+    """Known metadata filename contained in the source path/url, else the
+    basename (pitfall_utils.py:74-95: known-name match first, basename
+    fallback)."""
+    out = basename(source)
+    for name in reversed(METADATA_FILENAMES):
+        out = F.when(F.contains(source, F.lit(name)), F.lit(name)).otherwise(out)
+    return out

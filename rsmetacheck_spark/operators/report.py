@@ -21,11 +21,35 @@ from pyspark.sql import functions as F
 from .. import thresholds as TH
 
 
+def _rule_lookup(idx: int) -> F.Column:
+    """Literal map rule -> RULE_INFO[idx] (the reference's static
+    description/category/suggestion tables, json_ld_utils.py:53-91,
+    336-376, 379-418 — broadcast-free: a create_map literal folds into
+    the plan as a constant)."""
+    entries: list[F.Column] = []
+    for rule, info in TH.RULE_INFO.items():
+        entries.extend([F.lit(rule), F.lit(info[idx])])
+    return F.create_map(*entries)
+
+
 def per_doc_reports(pages_out: DataFrame) -> DataFrame:
-    """Flagged docs -> (url, bucket, report:string JSON)."""
+    """Flagged docs -> (url, bucket, report:string JSON). Each hit rule
+    renders a CheckResult-shaped entry (checkId/category/process/
+    suggestion/evidence, json_ld_utils.py:447-493)."""
     hits = F.filter("findings", lambda f: f["hit"])
     first_drop = F.try_element_at(
         F.filter("findings", lambda f: f["hit"] & (f["severity"] == TH.DROP)), F.lit(1)
+    )
+    cat_m, desc_m, sugg_m = _rule_lookup(0), _rule_lookup(1), _rule_lookup(2)
+    checks = F.transform(
+        hits,
+        lambda f: F.struct(
+            f["rule"].alias("checkId"),
+            cat_m[f["rule"]].alias("category"),
+            desc_m[f["rule"]].alias("process"),
+            sugg_m[f["rule"]].alias("suggestion"),
+            f["evidence"].alias("evidence"),
+        ),
     )
     report = F.to_json(
         F.struct(
@@ -35,6 +59,7 @@ def per_doc_reports(pages_out: DataFrame) -> DataFrame:
             F.col("first_drop_rule").alias("firstDropRule"),
             F.col("hit_rules").alias("checkIds"),
             F.col("evidence3").alias("evidence"),
+            F.col("checks").alias("checks"),
         )
     )
     return (
@@ -45,6 +70,7 @@ def per_doc_reports(pages_out: DataFrame) -> DataFrame:
             "evidence3",
             F.slice(F.transform(hits, lambda f: f["evidence"]), 1, 3),
         )
+        .withColumn("checks", checks)
         .filter(F.size("hit_rules") > 0)
         .select("url", "bucket", report.alias("report"))
     )

@@ -120,6 +120,59 @@ RULES = (
 
 RULE_SEVERITY = dict(RULES)
 
+# Static per-rule lookup tables — the reference ships description /
+# indicator-category / suggestion maps rendered into every JSON-LD report
+# (json_ld_utils.py:53-91 descriptions, 336-376 categories, 379-418
+# suggestions). Category here = which pipeline stage owns the rule.
+RULE_INFO: dict[str, tuple[str, str, str]] = {
+    # rule: (category, description, suggestion)
+    "R001_doc_length": (
+        "heuristic", "document length outside the accepted token range",
+        "drop or truncate documents outside the configured word-count band"),
+    "R002_symbol_ratio": (
+        "heuristic", "symbol-to-word ratio above threshold",
+        "strip markup/code blocks before extraction or drop the page"),
+    "R003_stopword_fraction": (
+        "heuristic", "stop-word fraction below the natural-language floor",
+        "verify extraction kept body text, not navigation chrome"),
+    "R004_mean_word_length": (
+        "heuristic", "mean word length outside the natural-language band",
+        "check for concatenated tokens or character-level corruption"),
+    "R005_dup_ngram_fraction": (
+        "heuristic", "duplicated n-gram fraction above threshold",
+        "deduplicate boilerplate/repeated blocks before ingestion"),
+    "R006_boilerplate_phrase": (
+        "heuristic", "known boilerplate phrase present",
+        "extend the extractor to strip template/boilerplate sections"),
+    "R007_bullet_ratio": (
+        "heuristic", "bullet-line ratio above threshold",
+        "treat list-dominated pages as navigation, not prose"),
+    "R008_ellipsis_ratio": (
+        "heuristic", "ellipsis-line ratio above threshold",
+        "page is likely truncated previews; fetch full articles"),
+    "R009_langid": (
+        "model", "predicted language outside the keep list",
+        "route to the matching language pipeline or drop"),
+    "R010_perplexity": (
+        "model", "LM perplexity above threshold",
+        "likely gibberish/spam; drop or send to human review"),
+    "R011_pii_email": (
+        "scrub", "email address detected and scrubbed",
+        "verify scrubbed text before release; audit the source"),
+    "R012_pii_phone": (
+        "scrub", "phone number detected and scrubbed",
+        "verify scrubbed text before release; audit the source"),
+    "R013_pii_id": (
+        "scrub", "government-id-shaped string detected and scrubbed",
+        "verify scrubbed text before release; audit the source"),
+    "R014_host_blocklist": (
+        "policy", "host on the configured blocklist",
+        "remove the host from crawl seeds"),
+    "R015_freshness": (
+        "policy", "capture timestamp older than the freshness window",
+        "recrawl the url or exclude from fresh-data training mixes"),
+}
+
 # Salting fan-out for hot-host aggregations (north_rule: salt hot hosts).
 N_SALT = 16
 

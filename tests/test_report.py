@@ -46,3 +46,20 @@ def test_reports(spark):
     if want_hits:
         assert by_rule["R001_doc_length"]["hits"] == want_hits
     po.unpersist()
+
+
+def test_report_checks_carry_lookup_tables(spark):
+    """Every hit rule renders a CheckResult entry with the static
+    category/description/suggestion tables (json_ld_utils.py analog)."""
+    pages = spark.createDataFrame(synth.gen_pages(80, seed=11))
+    res = run_pipeline(pages)
+    reports = [json.loads(r.report)
+               for r in per_doc_reports(res.pages_out).collect()]
+    assert reports
+    for rep in reports:
+        assert [c["checkId"] for c in rep["checks"]] == rep["checkIds"]
+        for c in rep["checks"]:
+            cat, desc, sugg = TH.RULE_INFO[c["checkId"]]
+            assert c["category"] == cat
+            assert c["process"] == desc
+            assert c["suggestion"] == sugg
