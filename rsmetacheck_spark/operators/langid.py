@@ -62,7 +62,7 @@ class LangIdModel:
             for g in all_grams
         }
 
-    def predict(self, text: str) -> str:
+    def scores(self, text: str) -> list[float]:
         s = _normalize(text[:_PREFIX_CHARS])
         n_langs = len(self.langs)
         scores = [0.0] * n_langs
@@ -71,8 +71,21 @@ class LangIdModel:
             vec = fused.get(s[i : i + 3], fb)
             for j in range(n_langs):
                 scores[j] += vec[j]
-        best = max(range(n_langs), key=lambda j: (scores[j], -j))
+        return scores
+
+    def predict(self, text: str) -> str:
+        scores = self.scores(text)
+        best = max(range(len(scores)), key=lambda j: (scores[j], -j))
         return self.langs[best]
+
+    def predict_top2(self, text: str) -> list[str]:
+        """Best and runner-up languages, ordered — the multi-valued
+        per-document language list (the reference's repos carry several
+        target languages, detect_pitfalls_main.py:320-323; per-language
+        metrics count a hit once per listed language, 346-351)."""
+        scores = self.scores(text)
+        order = sorted(range(len(scores)), key=lambda j: (-scores[j], j))
+        return [self.langs[j] for j in order[:2]]
 
     def predict_series(self, texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: self.predict(t if isinstance(t, str) else ""))

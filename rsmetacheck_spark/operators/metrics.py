@@ -29,22 +29,36 @@ def rule_metrics_table(pages_out: DataFrame) -> DataFrame:
         [(rule,) for rule, _sev in TH.RULES], "rule string"
     )
     total = pages_out.select(F.count("*").alias("total_docs"))
-    per_rule_lang = (
+    # A3 fidelity (detect_pitfalls_main.py:346-351): a hit counts once per
+    # TARGET LANGUAGE of the document (multi-valued explode over the
+    # langid top-2 list when present), while `hits` stays doc-level —
+    # exactly the reference's two counters
+    langs = (
+        F.col("lang_top2") if "lang_top2" in pages_out.columns
+        else F.array("lang_pred")
+    )
+    hit_findings = (
         pages_out
-        .select("lang_pred", F.explode("findings").alias("f"))
+        .select(langs.alias("langs"), F.explode("findings").alias("f"))
         .filter(F.col("f.hit"))
-        .groupBy(F.col("f.rule").alias("rule"), F.col("lang_pred").alias("lang"))
+        .select(F.col("f.rule").alias("rule"), "langs")
+    )
+    per_rule_lang = (
+        hit_findings
+        .select("rule", F.explode("langs").alias("lang"))
+        .groupBy("rule", "lang")
         .agg(F.count("*").alias("n"))
     )
+    doc_hits = hit_findings.groupBy("rule").agg(F.count("*").alias("hits"))
     agg = (
         per_rule_lang
         .groupBy("rule")
         .agg(
-            F.sum("n").alias("hits"),
             F.map_from_entries(
                 F.sort_array(F.collect_list(F.struct("lang", "n")))
             ).alias("lang_counts"),
         )
+        .join(doc_hits, "rule")
     )
     empty_map = F.map_from_entries(
         F.array().cast("array<struct<lang:string,n:bigint>>")

@@ -29,7 +29,8 @@ from .perplexity import get_model as get_ppl
 from .scrub import scrub_text
 
 MODEL_COLS = (
-    "extracted_text string, lang_pred string, log_ppl double, "
+    "extracted_text string, lang_pred string, lang_top2 array<string>, "
+    "log_ppl double, "
     "scrubbed_text string, n_pii_email int, n_pii_phone int, n_pii_id int, "
     + ", ".join(f"{name} {typ}" for name, typ in STATS_FIELDS)
     + ", model_error string"
@@ -45,6 +46,7 @@ def _process_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out: dict[str, list] = {
         "extracted_text": [""] * n,
         "lang_pred": [""] * n,
+        "lang_top2": [[] for _ in range(n)],
         "log_ppl": [0.0] * n,
         "scrubbed_text": [""] * n,
         "n_pii_email": [0] * n,
@@ -59,7 +61,9 @@ def _process_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             text = extract_text(html) if html is not None else ""
             out["extracted_text"][i] = text
             toks = tokenize(text)  # once: shared by ppl + stats
-            out["lang_pred"][i] = langid.predict(text)
+            top2 = langid.predict_top2(text)
+            out["lang_pred"][i] = top2[0]
+            out["lang_top2"][i] = top2
             out["log_ppl"][i] = ppl.log_ppl(text, toks)
             scrubbed, counts = scrub_text(text)
             out["scrubbed_text"][i] = scrubbed

@@ -39,7 +39,7 @@ from ..operators.verdicts import with_findings
 from ..sources.tables import write_table
 
 OUTPUT_COLS = (
-    "url", "warc_ts", "lang_pred", "log_ppl", "keep",
+    "url", "warc_ts", "lang_pred", "lang_top2", "log_ppl", "keep",
     "extracted_text", "scrubbed_text", "findings", "model_error", "bucket",
 )
 
