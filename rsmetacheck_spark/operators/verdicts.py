@@ -37,6 +37,10 @@ def with_findings(df: DataFrame) -> DataFrame:
         hit_cols[f"__h_{rule}"] = F.coalesce(hit, F.lit(False))
     df = df.withColumns({**metric_cols, **hit_cols})
 
+    # per-rule evidence template (the reference renders a distinct template
+    # per detector, json_ld_utils.py:144-333): the rule's description from
+    # the static lookup is baked in as a literal, so each struct's evidence
+    # is a one-format_string codegen expression
     finding_structs = [
         F.struct(
             F.lit(rule).alias("rule"),
@@ -44,7 +48,8 @@ def with_findings(df: DataFrame) -> DataFrame:
             F.lit(severity).alias("severity"),
             F.col(f"__m_{rule}").alias("metric"),
             F.format_string(
-                "%s metric=%s", F.lit(rule), F.col(f"__m_{rule}").cast("string")
+                f"%s: {TH.RULE_INFO[rule][1]} (metric=%s)",
+                F.lit(rule), F.col(f"__m_{rule}").cast("string"),
             ).alias("evidence"),
         )
         for rule, severity in TH.RULES
