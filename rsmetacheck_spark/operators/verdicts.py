@@ -40,16 +40,22 @@ def with_findings(df: DataFrame) -> DataFrame:
     # per-rule evidence template (the reference renders a distinct template
     # per detector, json_ld_utils.py:144-333): the rule's description from
     # the static lookup is baked in as a literal, so each struct's evidence
-    # is a one-format_string codegen expression
+    # is a one-format_string codegen expression. Evidence text is rendered
+    # ONLY for hits — the reference renders evidence only for flagged
+    # verdicts (json_ld_utils.py:447-493), and null evidence for the ~13
+    # non-hit rules per doc saves ~1 KB/row at the sink.
     finding_structs = [
         F.struct(
             F.lit(rule).alias("rule"),
             F.col(f"__h_{rule}").alias("hit"),
             F.lit(severity).alias("severity"),
             F.col(f"__m_{rule}").alias("metric"),
-            F.format_string(
-                f"%s: {TH.RULE_INFO[rule][1]} (metric=%s)",
-                F.lit(rule), F.col(f"__m_{rule}").cast("string"),
+            F.when(
+                F.col(f"__h_{rule}"),
+                F.format_string(
+                    f"%s: {TH.RULE_INFO[rule][1]} (metric=%s)",
+                    F.lit(rule), F.col(f"__m_{rule}").cast("string"),
+                ),
             ).alias("evidence"),
         )
         for rule, severity in TH.RULES

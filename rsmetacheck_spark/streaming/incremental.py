@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import thresholds as TH
-from ..plans.pipeline import verdict_plan
+from ..plans.pipeline import decode_from_sink, encode_for_sink, verdict_plan
 
 _CKPT = "_checkpoint.json"
 
@@ -74,7 +74,7 @@ def resume_materialize(
         if fail_after_groups is not None and gi >= fail_after_groups:
             raise RuntimeError(f"injected failure before group {gi}")
         part = pages.filter(F.col("__b").isin(group)).drop("__b")
-        plan = verdict_plan(part).repartition(len(group), "bucket")
+        plan = encode_for_sink(verdict_plan(part)).repartition(len(group), "bucket")
         (
             plan.write.mode("overwrite")
             .partitionBy("bucket")
@@ -87,4 +87,6 @@ def resume_materialize(
 
 
 def read_resumed(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "pages_out"))
+    return decode_from_sink(
+        spark.read.parquet(os.path.join(out_dir, "pages_out"))
+    )
