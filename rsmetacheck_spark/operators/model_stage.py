@@ -72,6 +72,17 @@ def _process_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             out["n_pii_id"][i] = counts.get("pii_id", 0)
             for name, val in text_stats(text, toks).items():
                 out[name][i] = val
+            # SPARSE text contract (applied last, so error rows keep the
+            # full value): extracted_text is emitted ONLY where the scrub
+            # changed it (any PII count > 0 — a zero-cost signal); null
+            # means "identical to scrubbed_text". This halves the text
+            # bytes crossing the Arrow boundary, the downstream shuffle,
+            # and the sink; consumers restore it with
+            # coalesce(extracted_text, scrubbed_text)
+            # (plans.pipeline.decode_from_sink).
+            if not (counts.get("pii_email", 0) or counts.get("pii_phone", 0)
+                    or counts.get("pii_id", 0)):
+                out["extracted_text"][i] = None
         except Exception as exc:  # error isolation per row, never fail the task
             out["model_error"][i] = f"{type(exc).__name__}: {exc}"
     for k, v in out.items():

@@ -28,6 +28,10 @@ FINDING_SCHEMA = (
 def with_findings(df: DataFrame) -> DataFrame:
     """Expects model-stage columns; adds findings + keep."""
     cols = {name: F.col(name) for name in df.columns}
+    # the model stage emits extracted_text SPARSELY (null == identical to
+    # scrubbed_text); rules that read the raw text get the restored value
+    if "extracted_text" in cols and "scrubbed_text" in cols:
+        cols["extracted_text"] = F.coalesce("extracted_text", "scrubbed_text")
     metrics = R.rule_metrics(cols)
 
     metric_cols, hit_cols = {}, {}

@@ -69,8 +69,11 @@ def encode_for_sink(df: DataFrame) -> DataFrame:
     """Sparse-encode the sink rows: extracted_text is NULLed where it
     equals scrubbed_text (~94% of rows — only PII hits differ), which
     halves the text bytes written/read. Loss-free: decode_from_sink
-    restores the column exactly. At the measured 32-core rate the
-    pipeline is disk-bandwidth-bound, so sink bytes are throughput."""
+    restores the column exactly. The model stage already emits the column
+    sparsely (the nullif here is then a no-op safety net for inputs that
+    arrive dense); memory/IO bytes per doc are the measured multi-core
+    throughput limiter, so sparse text rides the Arrow boundary, the
+    bucket exchange, AND the sink."""
     return df.withColumn(
         "extracted_text", F.expr("nullif(extracted_text, scrubbed_text)")
     )
@@ -85,7 +88,7 @@ def decode_from_sink(df: DataFrame) -> DataFrame:
 def run_pipeline(pages: DataFrame, input_snapshot: str = "synthetic") -> PipelineResult:
     """Lazy result (no writes) — aggregates recompute the plan; prefer
     `materialize` for anything bigger than a unit test."""
-    pages_out = verdict_plan(pages)
+    pages_out = decode_from_sink(verdict_plan(pages))
     return PipelineResult(
         pages_out=pages_out,
         metrics=rule_metrics_table(pages_out),
