@@ -132,7 +132,7 @@ def scaling_subprocess(cpus: int, sf_dir: str, n_docs: int) -> dict:
     small-N rate (a cluster executor owns exactly its cores)."""
     code = (
         "import json, sys; sys.path.insert(0, %r); import bench; "
-        "r = bench.single_run(%d, %r, %d, queries=False, warmup=True, reps=1); "
+        "r = bench.single_run(%d, %r, %d, queries=False, warmup=True, reps=2); "
         "print('@@' + json.dumps(r))"
         % (os.path.dirname(os.path.abspath(__file__)), cpus, sf_dir, n_docs)
     )
