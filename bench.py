@@ -42,7 +42,8 @@ BENCH_QUERIES = (
     "dd03_jaccard_pairs", "dd04_simhash", "q13_props_json", "q14_rollup_docs", "q15_pivot_events",
     "q16_setops", "q17_asof_join", "q19_ivf_centroids", "q20_quality_score",
     "q21_median_chars_by_source", "q22_rolling_hash",
-    "q23_tfidf_terms", "q24_bigram_pmi",
+    "q23_tfidf_terms", "q24_bigram_pmi", "q25_vocab_coverage",
+    "q26_repeat_collapse",
     "dd05_embedding_pairs", "sim01_ann_topk", "sim02_ann_lsh_topk",
     "sim03_ivf_search", "sim04_batch_knn", "ev09_rule_summary",
 )

@@ -1556,6 +1556,98 @@ ORDER BY pmi_micro DESC, bigram ASC LIMIT 20
 """
 
 
+def q25_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-vocabulary builder: top-30 tokens by corpus frequency
+    with the CUMULATIVE corpus-coverage each vocabulary prefix buys
+    (integer-scaled, (cum*1e6) div total) — the vocab-size-vs-coverage
+    curve every BPE/tokenizer training run starts from. One explode ->
+    partial-aggregated count, then a 30-row windowed cumsum."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    uni = (
+        d.selectExpr(f"explode({toks}) AS w")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = uni.agg(F.sum("n").alias("tt"))
+    w = Window.orderBy(F.col("n").desc(), F.col("w").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        uni.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("n").over(w))
+        .withColumn("rk", F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("w").asc())
+        ))
+        .filter(F.col("rk") <= 30)
+        .selectExpr(
+            "CAST(rk AS int) AS rk", "w AS token", "n",
+            "(cum * 1000000) div tt AS coverage_micro",
+        )
+    )
+
+
+def _sql_q25() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH uni AS (SELECT unnest({t}) AS w FROM documents),
+uc AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM uc),
+ranked AS (
+  SELECT w, n,
+         SUM(n) OVER (ORDER BY n DESC, w ASC ROWS UNBOUNDED PRECEDING) AS cum,
+         ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS rk
+  FROM uc)
+SELECT CAST(rk AS INTEGER) AS rk, w AS token, n,
+       CAST((cum * 1000000) // tt AS BIGINT) AS coverage_micro
+FROM ranked, tot WHERE rk <= 30
+"""
+
+
+def q26_repeat_collapse(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition normalization (the C4 repeated-span
+    cleanup shape): collapse consecutive duplicate tokens, report the
+    removed count and the fingerprint of the collapsed stream. Pure
+    per-row array expressions — zero shuffle."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    toks = _TOKS_SPARK.format(c="text")
+    keep_idx = (
+        "filter(sequence(1, size(t)),"
+        " i -> i = 1 OR element_at(t, i) <> element_at(t, i - 1))"
+    )
+    return (
+        d.selectExpr("doc_id", f"{toks} AS t")
+        .selectExpr(
+            "doc_id", "t",
+            f"transform({keep_idx}, i -> element_at(t, i)) AS c",
+        )
+        .selectExpr(
+            "doc_id",
+            "size(t) AS n_tokens",
+            "size(c) AS n_collapsed",
+            "md5(coalesce(array_join(c, ' '), '')) AS collapsed_md5",
+        )
+    )
+
+
+def _sql_q26() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH tk AS (SELECT doc_id, {t} AS t FROM documents WHERE doc_id < 100),
+col AS (
+  SELECT doc_id, t,
+         list_transform(
+           list_filter(generate_series(1, len(t)),
+             i -> i = 1 OR t[CAST(i AS INTEGER)] <> t[CAST(i AS INTEGER) - 1]),
+           i -> t[CAST(i AS INTEGER)]) AS c
+  FROM tk)
+SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+       CAST(len(c) AS INTEGER) AS n_collapsed,
+       md5(coalesce(array_to_string(c, ' '), '')) AS collapsed_md5
+FROM col
+"""
+
+
 def q22_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
     """Polynomial rolling-hash document fingerprint (h = h*131 + code mod
     2^31-1) over the char codes of the first 48 chars of the canonical
@@ -1629,6 +1721,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q22_rolling_hash": (q22_rolling_hash, _sql_q22()),
     "q23_tfidf_terms": (q23_tfidf_terms, _sql_q23()),
     "q24_bigram_pmi": (q24_bigram_pmi, _sql_q24()),
+    "q25_vocab_coverage": (q25_vocab_coverage, _sql_q25()),
+    "q26_repeat_collapse": (q26_repeat_collapse, _sql_q26()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
