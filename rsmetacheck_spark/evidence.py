@@ -188,6 +188,16 @@ class Dia:
     def flag(self, cond: str) -> str:
         return f"(CASE WHEN {cond} THEN 1 ELSE 0 END)"
 
+    def idiv(self, num: str, den: str) -> str:
+        """Exact integer division rendered identically in both engines.
+
+        Spark's `100.0 * x / y` is DECIMAL (SQL decimal literal) while
+        DuckDB's is DOUBLE — the driver's value hash sees different types
+        even when every value is numerically equal. Integer scaling avoids
+        the whole class (same trick as q23-q25's *_micro scores)."""
+        op = "//" if self.duck else "div"
+        return f"CAST(({num}) {op} ({den}) AS BIGINT)"
+
 
 SPARK = Dia(duck=False)
 DUCK = Dia(duck=True)
@@ -575,7 +585,10 @@ def flags_unversioned(d: Dia) -> dict[str, str]:
     ) + ", '')"
     return {
         "n_unversioned": unv,
-        "unv_pct": f"round(100.0 * {unv} / {d.size(reqs)}, 2)",
+        # basis points (1/100 of a percent), exact integer in both engines
+        # — Spark's `round(100.0*x/y, 2)` is DECIMAL vs DuckDB's DOUBLE and
+        # fails the driver's typed value hash despite equal values.
+        "unv_bp": d.idiv(f"10000 * {unv}", d.size(reqs)),
         "w001": d.flag(f"{unv} >= 1"),
         "w004_names": w004_names,
         "w005": d.flag(d.exists(

@@ -112,7 +112,14 @@ def materialize(
     # task pays a fixed Python-worker round-trip cost (~0.1-0.4 s measured),
     # so 2x+ over-partitioning *lowers* throughput at bench scale.
     target = spark.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() != target:
+    # Probe partition count via the JVM query execution, not `.rdd`:
+    # touching `.rdd` wraps the plan in a Python-serializer RDD conversion
+    # just to read a count the physical plan already knows.
+    try:
+        n_parts = pages._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:  # private-API guard: fall back to the public path
+        n_parts = pages.rdd.getNumPartitions()
+    if n_parts != target:
         pages = pages.repartition(target)
     plan = verdict_plan(pages)
     # Cluster by bucket before the partitioned write: otherwise every write

@@ -50,6 +50,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _CKPT_CACHE: dict[str, str] = {}
 
 
+def _sfkey(sf_dir: str) -> str:
+    """Cache key for an sf dir that includes a fingerprint of the input
+    parquet (paths + mtimes + sizes): if the underlying data at the same
+    path is regenerated mid-session (tests, notebooks), checkpoint-derived
+    queries must NOT serve stale scratch tables."""
+    parts = [sf_dir]
+    for name in ("documents.parquet", "embeddings.parquet"):
+        p = os.path.join(sf_dir, name)
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, f))
+                parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+        elif os.path.exists(p):
+            st = os.stat(p)
+            parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+    return "|".join(parts)
+
+
 def _checkpoint(df: DataFrame, tag: str, key: str | None = None) -> DataFrame:
     """Materialize an intermediate to scratch parquet and read it back —
     the query-local analog of checkpointing to a bucketed scratch table.
@@ -535,7 +553,7 @@ def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
         .filter(F.expr("size(sh) > 0"))  # empty docs have no near-dup notion
     )
-    mat = _checkpoint(sh_df, "dd02_sh", key=f"dd02_sh:{sf}")  # one pass; 3 consumers below
+    mat = _checkpoint(sh_df, "dd02_sh", key=f"dd02_sh:{_sfkey(sf)}")  # one pass; 3 consumers below
     hvr = mat.selectExpr("doc_id", "explode(sh) AS s").selectExpr(
         "doc_id",
         "CAST(conv(substr(md5(s), 1, 8), 16, 10) AS bigint) % 2147483647 AS h",
@@ -648,11 +666,12 @@ def dd06_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
     edges = _checkpoint(
         pairs.selectExpr("id_a AS src", "id_b AS dst")
         .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst")),
-        "dd06_edges", key=f"dd06_edges:{sf}",
+        "dd06_edges", key=f"dd06_edges:{_sfkey(sf)}",
     )
     labels = edges.selectExpr("src AS doc_id").distinct().selectExpr(
         "doc_id", "doc_id AS rep"
     )
+    changed = 0
     for _round in range(25):
         prop = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -674,6 +693,15 @@ def dd06_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A component with diameter > 25 would otherwise return PARTIAL
+        # labels that silently diverge from the recursive-CTE oracle.
+        raise RuntimeError(
+            f"dd06 min-label propagation did not converge in 25 rounds "
+            f"({changed} labels still changing) — duplicate-chain diameter "
+            f"exceeds the cap; raise the round cap or switch to "
+            f"large-star/small-star."
+        )
     return labels.selectExpr("doc_id", "rep AS group_rep")
 
 
@@ -708,7 +736,7 @@ def dd03_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         d.selectExpr("doc_id", f"{toks} AS t")
         .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
         .selectExpr("doc_id", "explode(sh) AS s"),
-        "dd03_inv", key=f"dd03_inv:{sf}",
+        "dd03_inv", key=f"dd03_inv:{_sfkey(sf)}",
     )
     # drop stopword-shingles with document frequency > 100: broadcast the
     # tiny HOT list and anti-join (broadcasting the kept set would ship
@@ -828,7 +856,7 @@ def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings").selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS double)) AS v"
     ).selectExpr("vec_id", f"transform(v, x -> x / {norm}) AS u")
-    mat = _checkpoint(e, "dd05_unit", key=f"dd05_unit:{sf}")
+    mat = _checkpoint(e, "dd05_unit", key=f"dd05_unit:{_sfkey(sf)}")
     tbl_exprs = []
     for tbl in range(DD05_TABLES):
         b_spark, _ = _bucket_exprs("u", n_planes=DD05_PLANES, seed=177 + tbl)
@@ -988,7 +1016,7 @@ def sim04_batch_knn(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings").selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS double)) AS v"
     ).selectExpr("vec_id", f"transform(v, x -> x / {norm}) AS u")
-    mat = _checkpoint(e, "dd05_unit", key=f"dd05_unit:{sf}")
+    mat = _checkpoint(e, "dd05_unit", key=f"dd05_unit:{_sfkey(sf)}")
     tbl_exprs = []
     for tbl in range(SIM04_TABLES):
         b_spark, _ = _bucket_exprs("u", n_planes=SIM04_PLANES, seed=377 + tbl)
@@ -1066,7 +1094,9 @@ def _sql_mm01() -> str:
         " CAST(strpos('0123456789abcdef', substring({h}, CAST(j AS INTEGER), 1)) - 1 AS BIGINT)"
         " << ((8 - CAST(j AS INTEGER)) * 4))) AS BIGINT)"
     )
-    sz_md5 = "md5('5:' || CAST(doc_id AS VARCHAR) || ':sz')"
+    from .operators.multimodal import MEDIA_SEED
+
+    sz_md5 = f"md5('{MEDIA_SEED}:' || CAST(doc_id AS VARCHAR) || ':sz')"
     nib = "strpos('0123456789abcdef', substring(phex, 2 * CAST(j AS INTEGER) - {o}, 1)) - 1"
     return f"""
 WITH m AS (
@@ -1078,7 +1108,7 @@ p AS (
   SELECT media_id, kind, size,
          substring(array_to_string(list_transform(
              generate_series(0, CAST((size + 15) // 16 AS INTEGER) - 1),
-             b -> md5('5:' || CAST(media_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))), ''),
+             b -> md5('{MEDIA_SEED}:' || CAST(media_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))), ''),
            1, CAST(2 * size AS INTEGER)) AS phex
   FROM m)
 SELECT media_id, kind, CAST(size AS INTEGER) AS n_bytes,
@@ -1530,7 +1560,13 @@ def q24_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .selectExpr(
             "concat(w1, ' ', w2) AS bigram", "cb",
-            "(cb * tt * 1000000) div (c1 * c2) AS pmi_micro",
+            # widen through decimal(38,0): cb*tt*1e6 overflows int64 at
+            # corpus scale (tt ~ 3e8 at sf1 alone), and Spark wraps
+            # SILENTLY while DuckDB raises — the engines would diverge
+            # exactly when the data gets big. `div` on decimals still
+            # yields an exact BIGINT integral quotient in both engines.
+            "CAST((CAST(cb AS decimal(38,0)) * tt * 1000000)"
+            " div (CAST(c1 AS decimal(38,0)) * c2) AS bigint) AS pmi_micro",
         )
         .orderBy(F.col("pmi_micro").desc(), F.col("bigram").asc())
         .limit(20)
@@ -1550,7 +1586,8 @@ uni AS (SELECT unnest(t) AS w FROM tk),
 uc AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY w),
 tot AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS tt FROM tk)
 SELECT w1 || ' ' || w2 AS bigram, cb,
-       CAST((cb * tt * 1000000) // (c1.cw * c2.cw) AS BIGINT) AS pmi_micro
+       CAST((CAST(cb AS HUGEINT) * tt * 1000000)
+            // (CAST(c1.cw AS HUGEINT) * c2.cw) AS BIGINT) AS pmi_micro
 FROM big JOIN uc c1 ON big.w1 = c1.w JOIN uc c2 ON big.w2 = c2.w, tot
 ORDER BY pmi_micro DESC, bigram ASC LIMIT 20
 """
@@ -1570,16 +1607,22 @@ def q25_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     tot = uni.agg(F.sum("n").alias("tt"))
-    w = Window.orderBy(F.col("n").desc(), F.col("w").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # Scale discipline: bound BOTH windows. Take the top-30 tokens first
+    # via sort+limit (compiles to TakeOrderedAndProject — a per-partition
+    # top-k + 30-row merge, no global sort), THEN run the row_number/cumsum
+    # windows over exactly 30 rows. An unpartitioned Window over the full
+    # distinct vocabulary would sort 10^9+ tokens in ONE task at corpus
+    # scale; the cumsum for ranks 1..30 only ever involves those 30 rows,
+    # so the bounded plan is exactly equivalent. Total token count joins
+    # as a broadcast scalar.
+    top = uni.orderBy(F.col("n").desc(), F.col("w").asc()).limit(30)
+    order = Window.orderBy(F.col("n").desc(), F.col("w").asc())
     return (
-        uni.crossJoin(F.broadcast(tot))
-        .withColumn("cum", F.sum("n").over(w))
-        .withColumn("rk", F.row_number().over(
-            Window.orderBy(F.col("n").desc(), F.col("w").asc())
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("n").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ))
-        .filter(F.col("rk") <= 30)
+        .withColumn("rk", F.row_number().over(order))
         .selectExpr(
             "CAST(rk AS int) AS rk", "w AS token", "n",
             "(cum * 1000000) div tt AS coverage_micro",
@@ -1611,16 +1654,21 @@ def q26_repeat_collapse(spark: SparkSession, sf: str) -> DataFrame:
     per-row array expressions — zero shuffle."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
     toks = _TOKS_SPARK.format(c="text")
+    # Guard the empty-token case: Spark's sequence(1, 0) is the DESCENDING
+    # [1, 0], so an unguarded filter lambda would evaluate element_at(t, 0)
+    # and crash the whole job on any zero-token document (DuckDB's
+    # generate_series(1, 0) is empty, so the oracle diverges too).
     keep_idx = (
         "filter(sequence(1, size(t)),"
         " i -> i = 1 OR element_at(t, i) <> element_at(t, i - 1))"
     )
+    collapsed = (
+        f"CASE WHEN size(t) = 0 THEN CAST(array() AS array<string>)"
+        f" ELSE transform({keep_idx}, i -> element_at(t, i)) END"
+    )
     return (
         d.selectExpr("doc_id", f"{toks} AS t")
-        .selectExpr(
-            "doc_id", "t",
-            f"transform({keep_idx}, i -> element_at(t, i)) AS c",
-        )
+        .selectExpr("doc_id", "t", f"{collapsed} AS c")
         .selectExpr(
             "doc_id",
             "size(t) AS n_tokens",
@@ -1636,10 +1684,11 @@ def _sql_q26() -> str:
 WITH tk AS (SELECT doc_id, {t} AS t FROM documents WHERE doc_id < 100),
 col AS (
   SELECT doc_id, t,
-         list_transform(
+         CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+         ELSE list_transform(
            list_filter(generate_series(1, len(t)),
              i -> i = 1 OR t[CAST(i AS INTEGER)] <> t[CAST(i AS INTEGER) - 1]),
-           i -> t[CAST(i AS INTEGER)]) AS c
+           i -> t[CAST(i AS INTEGER)]) END AS c
   FROM tk)
 SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
        CAST(len(c) AS INTEGER) AS n_collapsed,

@@ -37,6 +37,8 @@ DOC_QUERIES = (
     "q14_rollup_docs", "q20_quality_score", "q21_median_chars_by_source",
     "q22_rolling_hash", "dd01_exact_groups", "dd02_minhash_lsh_pairs",
     "dd03_jaccard_pairs", "dd04_simhash",
+    "q23_tfidf_terms", "q24_bigram_pmi", "q25_vocab_coverage",
+    "q26_repeat_collapse",
 )
 
 

@@ -35,7 +35,10 @@ def norm_cell(v):
     try:
         import decimal
         if isinstance(v, decimal.Decimal):
-            return round(float(v), 9)
+            # Keep Decimal DISTINCT from float: the driver's value hash is
+            # typed, so Spark DECIMAL vs DuckDB DOUBLE must fail here too
+            # (this exact class of bug slipped through in round 2 / ev08).
+            return ("decimal", str(v))
     except Exception:
         pass
     return v
