@@ -40,15 +40,22 @@ def days_between(a: Column, b: Column) -> Column:
 
 
 def url_is_valid(u: Column) -> Column:
-    """scheme+netloc check (p008.py:8-22)."""
-    return u.rlike(r"^https?://[^/\s]+")
+    """urlparse-style scheme+netloc format check (p008.py:8-22,
+    p015.py:7-14): ANY scheme is accepted (ftp:// is format-valid in the
+    reference), the netloc must be non-empty."""
+    return u.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/\s]+")
 
 
 def extract_urls(text: Column) -> Column:
-    """URL extraction from free text with trailing-punct strip (p008.py:58-81)."""
+    """URL extraction from free text (p008.py:58-81), reference-exact:
+    case-insensitive https?:// and www. patterns excluding <>\"' stoppers,
+    then strip exactly ONE trailing [,;.!?)] character (re.sub with an
+    anchored single-char class replaces one match)."""
     return F.transform(
-        F.regexp_extract_all(text, F.lit(r"(https?://[^\s<>\"]+|www\.[^\s<>\"]+)"), 1),
-        lambda u: F.regexp_replace(u, r"[.,;:!?)\]]+$", ""),
+        F.regexp_extract_all(
+            text, F.lit(r"(?i)(https?://[^\s<>\"']+|www\.[^\s<>\"']+)"), 1
+        ),
+        lambda u: F.regexp_replace(u, r"[,;.!?)]$", ""),
     )
 
 

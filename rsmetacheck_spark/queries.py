@@ -1779,3 +1779,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 from .evidence import registry as _ev_registry  # noqa: E402
 
 REGISTRY.update(_ev_registry())
+
+# Network-validation rule family P008/P011/P015 (three distinct
+# accessibility thresholds over mocked statuses; evidence_net.py)
+from .evidence_net import registry as _net_registry  # noqa: E402
+
+REGISTRY.update(_net_registry())
