@@ -188,6 +188,26 @@ class Dia:
     def flag(self, cond: str) -> str:
         return f"(CASE WHEN {cond} THEN 1 ELSE 0 END)"
 
+    def nl(self) -> str:
+        """A newline character literal."""
+        return "chr(10)" if self.duck else "'\\n'"
+
+    def split_nl(self, s: str) -> str:
+        if self.duck:
+            return f"string_split({s}, chr(10))"
+        return f"split({s}, '\\n')"
+
+    def startswith(self, s: str, prefix: str) -> str:
+        fn = "starts_with" if self.duck else "startswith"
+        return f"{fn}({s}, '{prefix}')"
+
+    def endswith(self, s: str, suffix: str) -> str:
+        fn = "ends_with" if self.duck else "endswith"
+        return f"{fn}({s}, '{suffix}')"
+
+    def contains(self, s: str, sub: str) -> str:
+        return f"contains({s}, '{sub}')"
+
     def idiv(self, num: str, den: str) -> str:
         """Exact integer division rendered identically in both engines.
 
@@ -291,10 +311,16 @@ def ev_expr(d: Dia) -> str:
         f" WHEN 3 THEN 'inactive'"
         f" ELSE 'see docs.example.org/page' END)"
     )
+    # 12 residue classes spanning every P013 branch (p013.py:28-66): the
+    # six version-pattern families, the dead mixed-case Apache family, the
+    # 0BSD / LICENSEREF- skips, and versioned/unversioned pairs.
     lic_name = (
-        f"(CASE {did} % 6"
+        f"(CASE {did} % 12"
         f" WHEN 0 THEN 'GPL' WHEN 1 THEN 'GPL-3.0' WHEN 2 THEN 'Apache License'"
-        f" WHEN 3 THEN 'Apache-2.0' WHEN 4 THEN 'MIT' ELSE 'CC-BY' END)"
+        f" WHEN 3 THEN 'Apache-2.0' WHEN 4 THEN 'MIT' WHEN 5 THEN 'CC-BY'"
+        f" WHEN 6 THEN 'LGPL' WHEN 7 THEN 'AGPL-3.0' WHEN 8 THEN 'BSD 3-Clause'"
+        f" WHEN 9 THEN '0BSD' WHEN 10 THEN 'LicenseRef-MIT-style'"
+        f" ELSE 'BSD' END)"
     )
     lic_path = (
         f"(CASE {did} % 5"
@@ -302,11 +328,27 @@ def ev_expr(d: Dia) -> str:
         f" WHEN 2 THEN 'https://opensource.org/licenses/MIT'"
         f" WHEN 3 THEN 'LICENSE' ELSE 'COPYING.rst' END)"
     )
+    # 10 residue classes spanning P002's 13 placeholder patterns
+    # (p002.py:38-51) and P010's branchy copyright-only check
+    # (p010.py:29-102): YEAR:/HOLDER: exact-format branch, (c)-year branch,
+    # the <=10-line bound (an 11-line copyright doc must NOT fire), and
+    # comment-line handling.
+    nl = d.nl()
+    long_cr = " || ".join(
+        ["'copyright 2020 holder x'"]
+        + [f"{nl} || 'body line {i}'" for i in range(1, 11)]
+    )
     lic_text = (
         f"(CASE {did} % 10"
         f" WHEN 0 THEN 'dual licensed under the MIT license or the Apache License 2.0'"
+        f" WHEN 1 THEN 'YEAR: 2017' || {nl} || 'COPYRIGHT HOLDER: Adam H. Sparks'"
+        f" WHEN 2 THEN '<owner> keeps every right reserved here'"
         f" WHEN 3 THEN 'copyright <year> <copyright holders> permission is granted'"
         f" WHEN 4 THEN 'copyright (c) 2024 example authors'"
+        f" WHEN 5 THEN 'use [fullname] and [year] as placeholders'"
+        f" WHEN 6 THEN {long_cr}"
+        f" WHEN 7 THEN 'this project is licensed under the apache license'"
+        f" WHEN 8 THEN '# notice' || {nl} || 'copyright (c) 2021 someone'"
         f" ELSE 'permission is hereby granted, free of charge, to any person'"
         f" END)"
     )
@@ -316,7 +358,29 @@ def ev_expr(d: Dia) -> str:
         f" ELSE 'ann' || {s(did)} END)"
     )
     py_ver = f"(CASE WHEN {did} % 2 = 0 THEN '3.' || {mnr} ELSE NULL END)"
-    req3 = f"(CASE WHEN {did} % 10 = 0 THEN 'reqa  reqb' ELSE 'req3' END)"
+    # W005 branch coverage (w005.py:29-43): double-space split, the
+    # \s+(?=[A-Z]) fallback, a trailing-space one-part case (detected but
+    # length 1 -> no fire), and a lowercase case the fallback must ignore
+    req3 = (
+        f"(CASE {did} % 10"
+        f" WHEN 0 THEN 'reqa  reqb'"
+        f" WHEN 5 THEN 'numpy Pandas'"
+        f" WHEN 7 THEN 'single  '"
+        f" WHEN 8 THEN 'alpha beta'"
+        f" ELSE 'req3' END)"
+    )
+    # P004 full classifier coverage (p004.py:7-45): raw.githubusercontent,
+    # github wiki vs blob/README, readthedocs, generic-TLD with and
+    # without a file-ish suffix
+    readme_v = (
+        f"(CASE {did} % 6"
+        f" WHEN 0 THEN 'https://raw.githubusercontent.com/org/repo/main/README.md'"
+        f" WHEN 1 THEN 'https://github.com/org' || {s(f'{did} % 50')} || '/repo/wiki'"
+        f" WHEN 2 THEN 'https://github.com/org/repo/blob/main/README.md'"
+        f" WHEN 3 THEN 'https://proj' || {s(f'{did} % 9')} || '.readthedocs.io/en/latest'"
+        f" WHEN 4 THEN 'https://example.net/about'"
+        f" ELSE 'https://example.org/readme.html' END)"
+    )
 
     ref_pub = (
         f"(CASE {did} % 8"
@@ -346,6 +410,7 @@ def ev_expr(d: Dia) -> str:
         d.struct(ghs, gha, _q("download_url"), dl_url),
         d.struct(ghs, gha, _q("homepage"), homepage),
         d.struct(cmj, cp, _q("development_status"), dev_status),
+        d.struct(cmj, cp, _q("readme_url"), readme_v),
         d.struct(_q("LICENSE"), fe, _q("license"), lic_name),
         d.struct(cmj, cp, _q("license"), _q("MIT")),
         d.struct(cmj, cp, _q("license_path"), lic_path),
@@ -516,8 +581,32 @@ def flags_url_classes(d: Dia) -> dict[str, str]:
                "|archive\\.org|codeocean\\.com|osf\\.io|doi\\.org/10\\.5281)")
     hp = d.first(d.filter("ev", "e -> e.k = 'homepage'")) + ".v"
     ds = d.first(d.filter("ev", "e -> e.k = 'development_status'")) + ".v"
+    # --- P004 full classifier chain (p004.py:7-45) over the codemeta
+    # readme_url: raw.githubusercontent -> not-homepage; github/gitlab ->
+    # homepage unless readme/blob; doc-site indicators; generic-TLD minus
+    # file-ish suffixes.
+    rm = d.first(d.filter(
+        "ev", "e -> e.src = 'codemeta.json' AND e.k = 'readme_url'"
+    )) + ".v"
+    ul = f"lower({rm})"
+    indicators = " OR ".join(
+        d.contains(ul, i)
+        for i in (".readthedocs.io", ".github.io", "wiki", "docs.",
+                  "documentation")
+    )
+    generic = " OR ".join(d.contains(ul, t) for t in (".org", ".com", ".net"))
+    exts = " OR ".join(
+        d.contains(ul, x) for x in (".md", ".txt", ".rst", ".html", "readme")
+    )
+    p004 = (
+        f"NOT {d.contains(ul, 'raw.githubusercontent.com')} AND"
+        f" (CASE WHEN {d.contains(ul, 'github.com')} OR {d.contains(ul, 'gitlab.com')}"
+        f" THEN NOT ({d.contains(ul, 'readme')} OR {d.contains(ul, 'blob/')})"
+        f" ELSE ({indicators}) OR (({generic}) AND NOT ({exts})) END)"
+    )
     return {
         "p007": d.flag(f"{b1} AND {b2} AND NOT {b3}"),
+        "p004": d.flag(p004),
         "p005": d.flag(d.rlike(f"coalesce({rp}, '')", archive)),
         "p009": d.flag(d.rlike(hp, "^https://(github|gitlab)\\.com/[^/]+/[^/]+/?$")),
         "w009": d.flag(
@@ -527,9 +616,43 @@ def flags_url_classes(d: Dia) -> dict[str, str]:
     }
 
 
+# P002's full 13-pattern placeholder alternation (p002.py:38-51), applied
+# to the lowercased text like the reference
+_P002_RX = (
+    "(<program>|<year>|<name of author>|<name>|<copyright holders?>|<owner>"
+    "|<author>|\\[year\\]|\\[fullname\\]|\\[name\\]|\\[copyright holder\\]"
+    "|<yyyy>|<name of copyright owner>)"
+)
+# P010's pattern sets (p010.py:43-66)
+_P010_CR = (
+    "(year\\s*:\\s*\\d{4}|copyright\\s+holder\\s*:\\s*[a-zA-Z]"
+    "|author\\s*:\\s*[a-zA-Z]|copyright\\s*©?\\s*\\d{4}|\\(c\\)\\s*\\d{4})"
+)
+_P010_LT = (
+    "(permission\\s+is\\s+hereby\\s+granted"
+    "|subject\\s+to\\s+the\\s+following\\s+conditions"
+    "|redistribution\\s+and\\s+use|without\\s+restriction"
+    "|without\\s+warranty|liability|terms\\s+and\\s+conditions"
+    "|licensed\\s+under|mit\\s+license|apache\\s+license"
+    "|gnu\\s+general\\s+public\\s+license|bsd\\s+license|creative\\s+commons)"
+)
+# P013's six family/version pattern pairs (p013.py:28-37). The reference
+# searches rf"\b{name}\b" against the UPPERCASED value WITHOUT ignorecase,
+# so the mixed-case "Apache" family can never match — replicated verbatim.
+_P013_FAMS = (
+    ("GPL", "GPL[-\\s]?\\d+(\\.\\d+)?"),
+    ("LGPL", "LGPL[-\\s]?\\d+(\\.\\d+)?"),
+    ("AGPL", "AGPL[-\\s]?\\d+(\\.\\d+)?"),
+    ("Apache", "Apache[-\\s]?\\d+(\\.\\d+)?"),
+    ("CC", "CC[- ]BY[-\\s]?\\d+(\\.\\d+)?"),
+    ("BSD", "BSD[-\\s]\\d+[-\\s]Clause"),
+)
+
+
 def flags_licenses(d: Dia) -> dict[str, str]:
-    """P006 local-path when-chain, P013 rlike pairs, W003 conditional
-    count, P002 placeholders, P010 copyright-only."""
+    """P006 local-path when-chain, P013 six-family version check with
+    0BSD/LICENSEREF- skips, W003 conditional count, P002 full placeholder
+    set, P010's branchy copyright-only check incl. the line-count bound."""
     lpath = d.first(d.filter("ev", "e -> e.k = 'license_path'")) + ".v"
     lname = d.first(d.filter(
         "ev", "e -> e.k = 'license' AND e.src = 'LICENSE'"
@@ -546,14 +669,43 @@ def flags_licenses(d: Dia) -> dict[str, str]:
         f" OR {lpath} IN ('LICENSE', 'COPYING', 'LICENSE.txt')"
         f" OR {suffix_rx})"
     )
-    fam = lambda name, versioned: (  # noqa: E731
-        f"({d.rlike(lname, name)} AND NOT {d.rlike(lname, versioned)})"
+    # --- P013 (p013.py:44-66) ---
+    u = f"upper({lname})"
+    fams = " OR ".join(
+        "({hit} AND NOT {ver})".format(
+            hit=d.rlike(u, "\\b" + name + "\\b"),
+            ver=d.rlike(u, "(?i)" + vp),
+        )
+        for name, vp in _P013_FAMS
     )
-    p013 = " OR ".join([
-        fam("GPL", "GPL[- ]?[0-9]"),
-        fam("Apache", "Apache[- ][0-9]"),
-        fam("CC-BY", "CC-BY[- ][0-9]"),
-    ])
+    p013 = (
+        f"NOT {d.contains(lname, '0BSD')}"
+        f" AND NOT {d.contains(f'upper({lname})', 'LICENSEREF-')}"
+        f" AND ({fams})"
+    )
+    # --- P010 (p010.py:29-102) ---
+    cl = f"lower(trim({ltext}))"
+    lines = d.filter(
+        d.transform(d.split_nl(f"trim({ltext})"), "x -> trim(x)"),
+        "x -> x <> ''",
+    )
+    nl_count = d.size(lines)
+    has_cr = d.rlike(cl, _P010_CR)
+    has_lt = d.rlike(cl, _P010_LT)
+    year_f = d.rlike(cl, "year\\s*:\\s*\\d{4}")
+    holder_f = d.rlike(cl, "copyright\\s+holder\\s*:")
+    meaningful = d.size(d.filter(
+        lines,
+        f"x -> NOT {d.rlike('lower(x)', _P010_CR)}"
+        f" AND NOT {d.startswith('x', '#')} AND NOT {d.startswith('x', '//')}"
+        " AND NOT x IN ('-', '=', '*')",
+    ))
+    p010 = (
+        f"{ltext} <> '' AND NOT {has_lt} AND ("
+        f"({has_cr} AND {nl_count} <= 10)"
+        f" OR ({year_f} AND {holder_f})"
+        f" OR ({nl_count} <= 5 AND {meaningful} <= 1 AND {has_cr}))"
+    )
     return {
         "p006": d.flag(p006),
         "p013": d.flag(p013),
@@ -561,13 +713,8 @@ def flags_licenses(d: Dia) -> dict[str, str]:
             f"{d.rlike(ltext, '(dual licensed|licensed under .+ or )')}"
             f" AND {n_cm_lic} <= 1"
         ),
-        "p002": d.flag(d.rlike(
-            ltext, "(<year>|<copyright holders>|<program>|\\[fullname\\]|\\[year\\])"
-        )),
-        "p010": d.flag(
-            f"{d.rlike(ltext, 'copyright')}"
-            f" AND NOT {d.rlike(ltext, '(permission|license|warranty|granted)')}"
-        ),
+        "p002": d.flag(d.rlike(cl, _P002_RX)),
+        "p010": d.flag(p010),
     }
 
 
@@ -591,10 +738,32 @@ def flags_unversioned(d: Dia) -> dict[str, str]:
         "unv_bp": d.idiv(f"10000 * {unv}", d.size(reqs)),
         "w001": d.flag(f"{unv} >= 1"),
         "w004_names": w004_names,
-        "w005": d.flag(d.exists(
-            reqs, f"e -> {d.size(d.split_rx('e.v', ' {2,}'))} > 1"
-        )),
+        "w005": d.flag(d.exists(reqs, f"e -> {_w005_multi(d, 'trim(e.v)')}")),
     }
+
+
+def _w005_multi(d: Dia, t: str) -> str:
+    """w005.py:29-43's exact split cascade: if a run of >=2 spaces exists
+    and yields any non-empty part, the verdict is parts>1; OTHERWISE fall
+    back to splitting before capitalized words (guarded by the reference's
+    `\\s+[A-Z][A-Za-z]` search).
+
+    RE2 (DuckDB) has no lookahead, so the `\\s+(?=[A-Z])` split is
+    emulated identically in both engines by marking each boundary with an
+    ASCII RS (0x1e) and splitting on it."""
+    cnt1 = d.size(d.filter(
+        d.transform(d.split_rx(t, "\\s{2,}"), "p -> trim(p)"), "p -> p <> ''"
+    ))
+    marked = d.rreplace(t, "\\s+([A-Z])", "\x1e$G1")
+    cnt2 = d.size(d.filter(
+        d.transform(d.split_plain(marked, "\x1e"), "p -> trim(p)"),
+        "p -> p <> ''",
+    ))
+    return (
+        f"(CASE WHEN {d.rlike(t, chr(92) + 's{2,}')} AND {cnt1} > 0"
+        f" THEN {cnt1} > 1"
+        f" ELSE {d.rlike(t, chr(92) + 's+[A-Z][A-Za-z]')} AND {cnt2} > 1 END)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -648,7 +817,7 @@ _EV_RULE_FLAGS = (
     ("ev03_author_rules", ("p003", "p019", "w008")),
     ("ev04_date_rules", ("w002",)),
     ("ev05_identifier_rules", ("p014", "p018", "w006", "w007")),
-    ("ev06_url_class_rules", ("p005", "p007", "p009", "w009")),
+    ("ev06_url_class_rules", ("p004", "p005", "p007", "p009", "w009")),
     ("ev07_license_rules", ("p002", "p006", "p010", "p013", "w003")),
     ("ev08_version_presence_rules", ("w001", "w004", "w005")),
 )

@@ -1785,3 +1785,9 @@ REGISTRY.update(_ev_registry())
 from .evidence_net import registry as _net_registry  # noqa: E402
 
 REGISTRY.update(_net_registry())
+
+# Streaming surface behind the same oracle gate (run-to-completion
+# availableNow streams compared against batch SQL; streaming/oracle_rows.py)
+from .streaming.oracle_rows import registry as _st_registry  # noqa: E402
+
+REGISTRY.update(_st_registry())

@@ -1,0 +1,123 @@
+"""Batch-equivalence registry rows for the streaming surface.
+
+The streaming operators were previously verified only in pytest; these
+rows put them behind the SAME DuckDB oracle gate as every batch operator:
+run the stream to completion with an availableNow trigger into a memory
+sink, aggregate the sink to a deterministic result, and compare against
+the batch SQL the stream must be equivalent to.
+
+st01: dropDuplicatesWithinWatermark (streaming/dedup.py) over the
+      documents table == one row per distinct content hash. Within a
+      single availableNow batch nothing is evicted early, so the kept-set
+      is exactly DISTINCT text_md5 regardless of arrival order (arrival
+      order only picks WHICH doc represents the group, so the comparable
+      output is the key set, not the representative).
+st02: applyInPandasWithState sessionization (streaming/stateful.py) ==
+      the batch q05 lag/gap sessionization SQL per user.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import dedup_stream
+from .stateful import sessionize_stateful
+
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _as_stream_dir(path: str) -> str:
+    """FileStreamSource wants a DIRECTORY; the testdata tables are single
+    parquet files. Expose the file through a scratch dir symlink."""
+    if os.path.isdir(path):
+        return path
+    if path not in _STREAM_DIRS:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="rsmc_streamdir_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        _STREAM_DIRS[path] = d
+    return _STREAM_DIRS[path]
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> str:
+    name = f"st_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return name
+
+
+def st01_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs_path = os.path.join(sf, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(_as_stream_dir(docs_path))
+        # deterministic synthetic event time (documents carry none)
+        .withColumn(
+            "warc_ts",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, 0, 0, 0, doc_id)"
+            ),
+        )
+    )
+    sink = _run_to_memory(dedup_stream(stream, horizon="10 seconds"), "append")
+    return (
+        spark.table(sink)
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+SQL_ST01 = """
+SELECT md5(lower(trim(text))) AS text_md5, CAST(1 AS BIGINT) AS n_kept
+FROM documents GROUP BY 1
+"""
+
+
+def st02_stream_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    events_path = os.path.join(sf, "events.parquet")
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(_as_stream_dir(events_path))
+    sink = _run_to_memory(sessionize_stateful(stream), "update")
+    # update-mode emits one running-total row per user per micro-batch;
+    # the FINAL emission per user is the batch-equivalent answer
+    w = "(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC))"
+    return (
+        spark.table(sink)
+        .selectExpr("user_id", "n_sessions", "n_events", f"{w} AS rk")
+        .filter("rk = 1")
+        .select("user_id", "n_sessions", "n_events")
+    )
+
+
+# identical to queries.SQL_Q05 — re-declared here so the streaming row is
+# self-contained for the driver gate
+SQL_ST02 = """
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM (SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events))
+GROUP BY user_id
+"""
+
+
+def registry() -> dict:
+    return {
+        "st01_stream_dedup": (st01_stream_dedup, SQL_ST01),
+        "st02_stream_sessionize": (st02_stream_sessionize, SQL_ST02),
+    }

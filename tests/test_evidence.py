@@ -43,12 +43,24 @@ EXPECTED = {
     "p009": lambda d: d % 4 in (0, 3),
     "w009": lambda d: d % 5 in (1, 2, 4),
     "p006": lambda d: d % 5 != 2,
-    "p013": lambda d: d % 6 in (0, 2, 5),
+    # P013 six-family + skips: GPL / CC-BY / LGPL / BSD unversioned fire;
+    # versioned forms, the dead mixed-case Apache family, 0BSD and
+    # LicenseRef- skips don't (see lic_name synthesis classes)
+    "p013": lambda d: d % 12 in (0, 5, 6, 11),
     "w003": lambda d: d % 10 == 0 and d % 14 != 0,
-    "p002": lambda d: d % 10 == 3,
-    "p010": lambda d: d % 10 == 4,
+    # P002 full placeholder set: <owner>, <year>/<copyright holders>,
+    # [fullname]/[year]
+    "p002": lambda d: d % 10 in (2, 3, 5),
+    # P010: YEAR:/HOLDER: branch, (c)-year short doc, comment+copyright;
+    # the 11-line copyright doc (class 6) must NOT fire (line bound)
+    "p010": lambda d: d % 10 in (1, 4, 8),
+    # P004 classifier: github wiki, readthedocs, bare generic-TLD fire;
+    # raw.githubusercontent, blob/README, readme.html don't
+    "p004": lambda d: d % 6 in (1, 3, 4),
     "w004": lambda d: d % 2 == 1,
-    "w005": lambda d: d % 10 == 0,
+    # W005: double-space split + capitalized-word fallback; the
+    # trailing-space single-part and lowercase cases must NOT fire
+    "w005": lambda d: d % 10 in (0, 5),
     "w001": lambda d: not ((d + 1) % 2 == 0 and d % 4 < 2 and d % 5 > 0),
     "w008": lambda d: d % 8 == 0,
 }

@@ -44,6 +44,25 @@ def test_q02_broadcasts_dims(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q25_bounded_window(spark):
+    """q25's cumsum/rank windows must run over the 30-row top-k, never the
+    full distinct vocabulary: the plan has to show TakeOrderedAndProject
+    (per-partition top-k + tiny merge) BELOW the Window, and the Window's
+    input must not be the raw aggregate output. An unpartitioned Window
+    over the full vocab sorts 10^9+ tokens in ONE task at corpus scale."""
+    fn, _ = REGISTRY["q25_vocab_coverage"]
+    plan = _plan(fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    # the global sort for the window must come AFTER the limit: i.e. no
+    # full `Sort ... global=true` below TakeOrderedAndProject's input
+    take_pos = plan.index("TakeOrderedAndProject")
+    window_pos = plan.index("Window")
+    assert window_pos < take_pos, (
+        "Window must consume the TakeOrdered output (appear above it in "
+        f"the tree):\n{plan[:3000]}"
+    )
+
+
 def test_q23_partial_aggregation(spark):
     fn, _ = REGISTRY["q23_tfidf_terms"]
     plan = _plan(fn(spark, SF))
