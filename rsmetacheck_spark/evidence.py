@@ -837,22 +837,30 @@ def _all_rule_exprs(d: Dia) -> dict[str, str]:
 
 def ev09_rule_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-rule hit counts + percentage over the evidence model (A1/A2
-    shape, detect_pitfalls_main.py:385-394): every detector family
-    evaluated in ONE scan, aggregated with map-side combine, unpivoted to
+    shape, detect_pitfalls_main.py:385-394): all 29 detectors — the 26
+    cross-evidence families plus the three network rules — evaluated in
+    ONE scan, aggregated with map-side combine, unpivoted to
     (rule, hits, pct)."""
     from pyspark.sql import functions as F
 
+    from .evidence_net import network_flag_cols, with_net
+
     exprs = _all_rule_exprs(SPARK)
-    ev = _spark_ev_df(spark, sf_dir).selectExpr(
-        *[f"{e} AS {r}" for r, e in exprs.items()]
+    net_flags = network_flag_cols()
+    ev = with_net(
+        _spark_ev_df(spark, sf_dir)
+    ).select(
+        *[F.expr(e).alias(r) for r, e in exprs.items()],
+        *[c.alias(r) for r, c in net_flags.items()],
     )
+    rules = list(exprs) + list(net_flags)
     agg = ev.agg(
         F.count("*").alias("total"),
-        *[F.sum(r).alias(f"h_{r}") for r in exprs],
+        *[F.sum(r).alias(f"h_{r}") for r in rules],
     )
     pairs = F.array(*[
         F.struct(F.lit(r).alias("rule"), F.col(f"h_{r}").alias("hits"))
-        for r in exprs
+        for r in rules
     ])
     return agg.select(F.explode(pairs).alias("e"), "total").select(
         F.col("e.rule").alias("rule"),
@@ -862,16 +870,22 @@ def ev09_rule_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ev09() -> str:
+    from .evidence_net import duck_flag_exprs, net_expr
+
     exprs = _all_rule_exprs(DUCK)
+    net_exprs = duck_flag_exprs()
     cols = ", ".join(f"SUM({e}) AS h_{r}" for r, e in exprs.items())
+    net_cols = ", ".join(f"SUM({e}) AS h_{r}" for r, e in net_exprs.items())
     unions = "\nUNION ALL ".join(
         f"SELECT '{r}' AS rule, CAST(h_{r} AS BIGINT) AS hits,"
-        f" ROUND(100.0 * h_{r} / total, 2) AS pct FROM a"
-        for r in exprs
+        f" ROUND(100.0 * h_{r} / total, 2) AS pct FROM a, b"
+        for r in list(exprs) + list(net_exprs)
     )
     return (
         f"WITH evd AS (SELECT doc_id, {ev_expr(DUCK)} AS ev FROM documents),\n"
-        f"a AS (SELECT COUNT(*) AS total, {cols} FROM evd)\n{unions}"
+        f"nets AS (SELECT doc_id, {net_expr(DUCK)} AS net FROM documents),\n"
+        f"a AS (SELECT COUNT(*) AS total, {cols} FROM evd),\n"
+        f"b AS (SELECT {net_cols} FROM nets)\n{unions}"
     )
 
 

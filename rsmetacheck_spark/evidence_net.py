@@ -157,9 +157,9 @@ def _url_ok(url: Column, ok_fn) -> Column:
     return url_is_valid(url) & ok_fn(status_of(url))
 
 
-def ev10_network_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    net = docs.select("doc_id", F.expr(net_expr(SPARK)).alias("net"))
+def network_flag_cols() -> dict[str, Column]:
+    """The three rule flags as Columns over a `net` evidence-array column
+    (shared by ev10 and the 29-rule ev09 summary)."""
 
     def from_codemeta(k: str) -> Column:
         # p011.py:56 / p015.py:76: "codemeta.json" in source or
@@ -193,16 +193,51 @@ def ev10_network_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return {
+        "p008": flag(F.exists(reqs, req_entry_bad)),
+        "p011": flag(F.exists(it, lambda e: ~_url_ok(e.v, ok_p011))),
+        "p015": flag(F.exists(ci, lambda e: ~_url_ok(e.v, ok_p015))),
+    }
+
+
+def with_net(docs: DataFrame) -> DataFrame:
+    """Append the synthesized `net` evidence array to a docs DataFrame."""
+    from .evidence import SPARK as _SPARK
+
+    return docs.withColumn("net", F.expr(net_expr(_SPARK)))
+
+
+def ev10_network_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    net = with_net(docs.select("doc_id"))
+
+    def from_codemeta(k: str) -> Column:
+        return F.filter(
+            "net",
+            lambda e: (e.k == k) & (
+                e.src.contains("codemeta.json")
+                | ((e.tech == "code_parser") & F.lower(e.src).contains("codemeta"))
+            ),
+        )
+
+    it = from_codemeta("issue_tracker")
+    ci = from_codemeta("continuous_integration")
+    reqs = F.filter(
+        "net",
+        lambda e: (e.k == "requirement") & (e.tech == "code_parser")
+        & reduce(or_, [F.lower(e.src).contains(m) for m in META_SOURCES]),
+    )
     first_it = F.try_element_at(it, F.lit(1)).getField("v")
     first_ci = F.try_element_at(ci, F.lit(1)).getField("v")
     st_or_null = lambda u: F.when(  # noqa: E731  — reference reports
         url_is_valid(u), status_of(u)  # status_code=None on format errors
     ).cast("int")
+    flags = network_flag_cols()
     return net.select(
         "doc_id",
-        flag(F.exists(reqs, req_entry_bad)).alias("p008"),
-        flag(F.exists(it, lambda e: ~_url_ok(e.v, ok_p011))).alias("p011"),
-        flag(F.exists(ci, lambda e: ~_url_ok(e.v, ok_p015))).alias("p015"),
+        flags["p008"].alias("p008"),
+        flags["p011"].alias("p011"),
+        flags["p015"].alias("p015"),
         st_or_null(first_it).alias("it_status"),
         st_or_null(first_ci).alias("ci_status"),
         F.aggregate(
@@ -253,14 +288,18 @@ def _duck_ok(u: str, rule: str) -> str:
     return f"({_DUCK_VALID.format(u=u)} AND {_duck_thr(u, rule)})"
 
 
-def _sql_ev10() -> str:
-    from .evidence import DUCK
+_DUCK_META_OR = " OR ".join(
+    f"contains(lower(e.src), '{m}')" for m in META_SOURCES
+)
+_DUCK_CODEMETA = (
+    "contains(e.src, 'codemeta.json')"
+    " OR (e.tech = 'code_parser' AND contains(lower(e.src), 'codemeta'))"
+)
 
-    meta_or = " OR ".join(f"contains(lower(e.src), '{m}')" for m in META_SOURCES)
-    codemeta = (
-        "contains(e.src, 'codemeta.json')"
-        " OR (e.tech = 'code_parser' AND contains(lower(e.src), 'codemeta'))"
-    )
+
+def duck_flag_exprs() -> dict[str, str]:
+    """Per-row p008/p011/p015 0/1 expressions over a `net` column
+    (shared by the ev10 oracle and the 29-rule ev09 summary oracle)."""
     req_bad = (
         f"CASE WHEN {_DUCK_VALID.format(u='e.v')}"
         f" THEN NOT {_duck_thr('e.v', 'p008')}"
@@ -268,22 +307,43 @@ def _sql_ev10() -> str:
         f" len(list_filter({_DUCK_EXTRACT.format(v='e.v')},"
         f" u -> NOT {_duck_ok('u', 'p008')})) > 0 END"
     )
+    return {
+        "p008": (
+            "CASE WHEN len(list_filter(list_filter(net,"
+            f" e -> e.k = 'requirement' AND e.tech = 'code_parser' AND ({_DUCK_META_OR})),"
+            f" e -> {req_bad})) > 0 THEN 1 ELSE 0 END"
+        ),
+        "p011": (
+            f"CASE WHEN len(list_filter(net, e -> e.k = 'issue_tracker'"
+            f" AND ({_DUCK_CODEMETA})"
+            f" AND NOT {_duck_ok('e.v', 'p011')})) > 0 THEN 1 ELSE 0 END"
+        ),
+        "p015": (
+            f"CASE WHEN len(list_filter(net, e -> e.k = 'continuous_integration'"
+            f" AND ({_DUCK_CODEMETA})"
+            f" AND NOT {_duck_ok('e.v', 'p015')})) > 0 THEN 1 ELSE 0 END"
+        ),
+    }
+
+
+def _sql_ev10() -> str:
+    from .evidence import DUCK
+
+    meta_or = _DUCK_META_OR
+    flags = duck_flag_exprs()
     st_or_null = lambda u: (  # noqa: E731
         f"CAST(CASE WHEN {_DUCK_VALID.format(u=u)} THEN {_duck_status(u)} END AS INTEGER)"
     )
-    first_it = "(list_filter(net, e -> e.k = 'issue_tracker' AND (" + codemeta + ")))[1].v"
+    first_it = ("(list_filter(net, e -> e.k = 'issue_tracker' AND ("
+                + _DUCK_CODEMETA + ")))[1].v")
     first_ci = ("(list_filter(net, e -> e.k = 'continuous_integration' AND ("
-                + codemeta + ")))[1].v")
+                + _DUCK_CODEMETA + ")))[1].v")
     return f"""
 WITH nets AS (SELECT doc_id, {net_expr(DUCK)} AS net FROM documents)
 SELECT doc_id,
-  CASE WHEN len(list_filter(list_filter(net,
-         e -> e.k = 'requirement' AND e.tech = 'code_parser' AND ({meta_or})),
-         e -> {req_bad})) > 0 THEN 1 ELSE 0 END AS p008,
-  CASE WHEN len(list_filter(net, e -> e.k = 'issue_tracker' AND ({codemeta})
-         AND NOT {_duck_ok('e.v', 'p011')})) > 0 THEN 1 ELSE 0 END AS p011,
-  CASE WHEN len(list_filter(net, e -> e.k = 'continuous_integration' AND ({codemeta})
-         AND NOT {_duck_ok('e.v', 'p015')})) > 0 THEN 1 ELSE 0 END AS p015,
+  {flags['p008']} AS p008,
+  {flags['p011']} AS p011,
+  {flags['p015']} AS p015,
   {st_or_null(first_it)} AS it_status,
   {st_or_null(first_ci)} AS ci_status,
   CAST(list_sum(list_concat([0], list_transform(list_filter(net,
