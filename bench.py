@@ -46,6 +46,7 @@ BENCH_QUERIES = (
     "q26_repeat_collapse",
     "dd05_embedding_pairs", "sim01_ann_topk", "sim02_ann_lsh_topk",
     "sim03_ivf_search", "sim04_batch_knn", "ev09_rule_summary",
+    "ev10_network_rules",
 )
 
 # pages per sf unit: sf0.1 -> 100k docs (avg doc ~1.7 KB text -> ~170 MB
