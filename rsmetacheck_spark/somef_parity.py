@@ -883,7 +883,78 @@ def _p013_golden() -> str:
     )
 
 
-GOLDEN_ERA_EXPRS = {"P007": _p007_golden, "P013": _p013_golden}
+def _p009_golden() -> str:
+    """Golden-era P009: the current classifier minus the github.io
+    special-casing — no github.io guard in is_repository_url and no
+    '.io/' / 'github.io' homepage indicators (all 17 current-vs-golden
+    disagreements are github.io URLs; removing those branches scores
+    12/0/0 against the goldens)."""
+    ul = "lower(e.v)"
+    repo_ind = _any_contains(ul, (
+        "github.com/", "github.org/", "gitlab.com/", "gitlab.org/",
+        "bitbucket.org/", "bitbucket.net/", "sourceforge.net/projects/",
+        "git.", ".git",
+    ))
+    home_ind = _any_contains(ul, (
+        ".org/", ".com/", ".net/", "www.", "docs.", "documentation",
+        "readthedocs",
+    ))
+    techs = ", ".join(f"'{m}'" for m in M_CS)
+    return _ex(
+        f"e.cat = 'code_repository' AND ({TE} = 'code_parser'"
+        f" OR {TE} IN ({techs})"
+        f" OR {_any_contains(f'lower({ES})', M_LOWER_NODESC)})"
+        f" AND {_hasv()} AND e.vkind = 'str' AND e.v <> ''"
+        f" AND NOT {repo_ind} AND {home_ind}"
+    )
+
+
+def _p012_golden() -> str:
+    """Golden-era P012: different URL-version patterns (an unterminated
+    /archive/ pattern plus end-anchored slash/dash variants) and NO
+    archive-extension strip, so 'v1.2.1.tar.gz' extracts as '1.2.1.tar.gz'
+    and mismatches the release tag. Reconstructed from the corpus
+    (41/0/0 vs the goldens)."""
+    url = _fst(
+        f"e.cat = 'download_url' AND (contains(lower({ES}), 'codemeta.json')"
+        f" OR ({TE} = 'code_parser' AND contains(lower({ES}), 'codemeta')))"
+        f" AND {_hasv()}"
+    ) + ".v"
+    vnum = r"(\\d+\\.\\d+(?:\\.\\d+)?(?:[a-zA-Z0-9\\-\\.]*)?)"
+    pats = [
+        rf"/archive/(?:v)?{vnum}",
+        rf"[-_](?:v)?{vnum}\\.",
+        rf"/(?:v)?{vnum}$",
+        rf"[-_](?:v)?{vnum}$",
+    ]
+    ex = "(CASE " + " ".join(
+        f"WHEN regexp_extract({url}, '{p}', 1) <> ''"
+        f" THEN regexp_extract({url}, '{p}', 1)"
+        for p in pats
+    ) + " ELSE '' END)"
+    rel0 = _fst("e.cat = 'releases'")
+    tag = f"{rel0}.rrtag"
+    name_ver = rf"regexp_extract({rel0}.rrname, '(?:v)?{vnum}', 1)"
+    rel = (
+        f"(CASE WHEN {tag} IS NOT NULL AND trim({tag}) <> '' THEN trim({tag})"
+        f" WHEN {rel0}.rrname IS NOT NULL AND {rel0}.rrname <> ''"
+        f" AND {name_ver} <> '' THEN {name_ver} ELSE NULL END)"
+    )
+
+    def norm(x: str) -> str:
+        return f"regexp_replace(lower(trim({x})), '^v', '')"
+
+    return (
+        f"{url} IS NOT NULL AND {url} <> '' AND {ex} <> ''"
+        f" AND {rel} IS NOT NULL AND {norm(rel)} <> ''"
+        f" AND {norm(ex)} <> '' AND {norm(ex)} <> {norm(rel)}"
+    )
+
+
+GOLDEN_ERA_EXPRS = {
+    "P007": _p007_golden, "P009": _p009_golden,
+    "P012": _p012_golden, "P013": _p013_golden,
+}
 
 # rules whose golden labels still match the current source (>= 0.99 after
 # excluding the reference's own jsonld-crash files)

@@ -156,13 +156,15 @@ def test_golden_corpus_f1(spark_flags):
 
 
 def test_golden_era_reconstructions_exact(spark_flags):
-    """P007/P013 golden-era semantics must match the goldens EXACTLY
-    (these rules' goldens predate the current source — reconstructed
-    from corpus archaeology, see somef_parity.py)."""
+    """P007/P009/P012/P013 golden-era semantics must match the goldens
+    EXACTLY (these rules' goldens predate the current source —
+    reconstructed from corpus archaeology, see somef_parity.py). W003
+    remains drift-only: its golden-era discriminator is not a pure
+    text-pattern function of the license entries."""
     golden = golden_labels(GOLDEN_DIR)
     crash = jsonld_crash_files()
     files = [f for f in spark_flags if f not in crash]
-    for rule in ("P007", "P013"):
+    for rule in ("P007", "P009", "P012", "P013"):
         bad = [
             f for f in files
             if bool(spark_flags[f][f"{rule.lower()}_golden"])

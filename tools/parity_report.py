@@ -88,8 +88,8 @@ def main() -> None:
         "## Golden-era reconstructions",
         "",
         "The drift rules' goldens predate the shipped source (the current",
-        "source itself scores 0.0–0.8 F1 against them). For P007 and P013",
-        "the golden-era semantics were reconstructed from corpus archaeology",
+        "source itself scores 0.0–0.8 F1 against them). For P007/P009/P012/P013",
+        "golden-era semantics were reconstructed from corpus archaeology",
         "(see somef_parity.py docstrings) and score:",
         "",
         "| rule (golden-era) | tp | fp | fn | F1 |",
