@@ -39,11 +39,11 @@ BENCH_QUERIES = (
     "q07_doc_rule_hits", "q08_keep_rate_by_lang", "q09_langid_vote",
     "q10_token_stats_by_source", "q11_top_ngrams", "q12_fingerprints",
     "dd01_exact_groups", "dd02_minhash_lsh_pairs", "dd06_dup_groups",
-    "dd03_jaccard_pairs", "dd04_simhash", "q13_props_json", "q14_rollup_docs", "q15_pivot_events",
+    "dd07_group_best", "dd03_jaccard_pairs", "dd04_simhash", "q13_props_json", "q14_rollup_docs", "q15_pivot_events",
     "q16_setops", "q17_asof_join", "q19_ivf_centroids", "q20_quality_score",
     "q21_median_chars_by_source", "q22_rolling_hash",
     "q23_tfidf_terms", "q24_bigram_pmi", "q25_vocab_coverage",
-    "q26_repeat_collapse",
+    "q26_repeat_collapse", "q27_contamination",
     "dd05_embedding_pairs", "sim01_ann_topk", "sim02_ann_lsh_topk",
     "sim03_ivf_search", "sim04_batch_knn", "ev09_rule_summary",
     "ev10_network_rules",

@@ -720,6 +720,124 @@ SELECT id AS doc_id, MIN(r) AS group_rep FROM reach GROUP BY id
 """
 
 
+def dd07_group_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup REPRESENTATIVE selection: for every near-dup group (dd06),
+    keep the highest-quality member — what a real dedup pipeline actually
+    emits (drop the rest, keep the best). Quality is the q20 composite as
+    EXACT integer points (4/3/2/1) so the cross-engine argmax ordering has
+    no float ties; ties break on the smaller doc_id.
+
+    Scale shape: groups are bounded-size near-dup clusters, so the argmax
+    window partitions on group_rep (hash-shuffled, no global sort)."""
+    groups = dd06_dup_groups(spark, sf)
+    f = _doc_feats(spark, sf)
+    score10 = (
+        F.when(F.col("n_tokens").between(DOC_MIN_TOKENS, DOC_MAX_TOKENS), 4).otherwise(0)
+        + F.when(F.col("stop_frac") >= DOC_MIN_STOP_FRAC, 3).otherwise(0)
+        + F.when(F.col("mean_word_len").between(
+            TH.MIN_MEAN_WORD_LEN, TH.MAX_MEAN_WORD_LEN), 2).otherwise(0)
+        + F.when(F.col("lang").isin(*DOC_KEEP_LANGS), 1).otherwise(0)
+    )
+    scored = groups.join(
+        f.select("doc_id", score10.alias("score10")), "doc_id"
+    )
+    w = Window.partitionBy("group_rep").orderBy(
+        F.col("score10").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .groupBy("group_rep")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("best_doc_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("score10"))).alias("best_score10"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def _sql_dd07() -> str:
+    return f"""
+WITH RECURSIVE {_sql_dd02_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+groups AS (SELECT id AS doc_id, MIN(r) AS group_rep FROM reach GROUP BY id),
+f AS ({_DOC_FEATS_SQL}),
+scored AS (
+  SELECT g.doc_id, g.group_rep,
+         (CASE WHEN n_tokens BETWEEN {DOC_MIN_TOKENS} AND {DOC_MAX_TOKENS} THEN 4 ELSE 0 END)
+         + (CASE WHEN stop_frac >= {DOC_MIN_STOP_FRAC} THEN 3 ELSE 0 END)
+         + (CASE WHEN mean_word_len BETWEEN {TH.MIN_MEAN_WORD_LEN} AND {TH.MAX_MEAN_WORD_LEN} THEN 2 ELSE 0 END)
+         + (CASE WHEN lang IN {DOC_KEEP_LANGS!r} THEN 1 ELSE 0 END) AS score10
+  FROM groups g JOIN f ON g.doc_id = f.doc_id),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY group_rep ORDER BY score10 DESC, doc_id ASC) AS rn
+  FROM scored)
+SELECT group_rep,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS best_doc_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN score10 END) AS INTEGER) AS best_score10,
+       COUNT(*) AS n_docs
+FROM rk GROUP BY group_rep
+"""
+
+
+def q27_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination check: per-document fraction of its
+    distinct 3-gram shingles that also occur in a held-out benchmark set
+    (every 97th document — the deterministic stand-in for an eval set).
+    The overlap join is an inverted-index equi-join against the DISTINCT
+    benchmark gram set, broadcast because benchmark sets are small by
+    construction — never an all-pairs comparison. Exact integer
+    overlap_micro; reported for doc_id < 300 (bounded output)."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    sh = d.selectExpr("doc_id", f"{toks} AS t").selectExpr(
+        "doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh"
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .selectExpr("explode(sh) AS s").distinct()
+    )
+    probe = (
+        sh.filter((F.col("doc_id") % 97 != 0) & (F.col("doc_id") < 300))
+        .filter(F.expr("size(sh) > 0"))
+    )
+    grams = probe.selectExpr("doc_id", "size(sh) AS n_grams", "explode(sh) AS s")
+    hits = (
+        grams.join(F.broadcast(bench), "s")
+        .groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        probe.selectExpr("doc_id", "size(sh) AS n_grams")
+        .join(hits, "doc_id", "left")
+        .selectExpr(
+            "doc_id", "n_grams",
+            "CAST(coalesce(n_hit, 0) AS bigint) AS n_hit",
+            "(1000000 * coalesce(n_hit, 0)) div n_grams AS overlap_micro",
+        )
+    )
+
+
+def _sql_q27() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES_DUCK.format(t=t)} AS sh FROM documents),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
+probe AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0 AND doc_id < 300 AND len(sh) > 0),
+grams AS (SELECT doc_id, unnest(sh) AS s FROM probe),
+hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM grams JOIN bench USING (s) GROUP BY doc_id)
+SELECT p.doc_id, CAST(len(p.sh) AS INTEGER) AS n_grams,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST((1000000 * coalesce(h.n_hit, 0)) // len(p.sh) AS BIGINT) AS overlap_micro
+FROM probe p LEFT JOIN hits h ON p.doc_id = h.doc_id
+"""
+
+
 def dd03_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted shingle index
     (groupBy shingle -> co-occurring docs), not an all-pairs product.
@@ -1750,6 +1868,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dd01_exact_groups": (dd01_exact_groups, SQL_DD01),
     "dd02_minhash_lsh_pairs": (dd02_minhash_lsh_pairs, _sql_dd02()),
     "dd06_dup_groups": (dd06_dup_groups, _sql_dd06()),
+    "dd07_group_best": (dd07_group_best, _sql_dd07()),
     "dd03_jaccard_pairs": (dd03_jaccard_pairs, _sql_dd03()),
     "dd04_simhash": (dd04_simhash, _sql_dd04()),
     "dd05_embedding_pairs": (dd05_embedding_pairs, _sql_dd05()),
@@ -1772,6 +1891,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q24_bigram_pmi": (q24_bigram_pmi, _sql_q24()),
     "q25_vocab_coverage": (q25_vocab_coverage, _sql_q25()),
     "q26_repeat_collapse": (q26_repeat_collapse, _sql_q26()),
+    "q27_contamination": (q27_contamination, _sql_q27()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family

@@ -63,6 +63,15 @@ def test_q25_bounded_window(spark):
     )
 
 
+def test_q27_broadcasts_benchmark_grams(spark):
+    """The contamination check must join the (small by construction)
+    benchmark gram set as a broadcast — a shuffled join here would move
+    the full corpus gram table at 100 TB scale."""
+    fn, _ = REGISTRY["q27_contamination"]
+    plan = _plan(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
 def test_q23_partial_aggregation(spark):
     fn, _ = REGISTRY["q23_tfidf_terms"]
     plan = _plan(fn(spark, SF))
