@@ -823,6 +823,101 @@ def q27_contamination(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q28_mixing_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixing weights: the per-source sampling weight that turns
+    the corpus's actual token distribution into a uniform target mix
+    (weight = target_share / actual_share, exact integer micro-units) —
+    the quantity every training-mix config needs per domain. One partial-
+    aggregated groupBy + a broadcast total."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    per_src = (
+        d.selectExpr("source", f"size({toks}) AS n")
+        .groupBy("source")
+        .agg(F.sum("n").alias("src_tokens"), F.count("*").alias("n_docs"))
+        # a source of only empty docs has no tokens to weight (and would
+        # divide by zero — DuckDB raises, Spark yields NULL)
+        .filter(F.col("src_tokens") > 0)
+    )
+    tot = per_src.agg(
+        F.sum("src_tokens").alias("tt"),
+        F.count("*").alias("n_sources"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).selectExpr(
+        "source", "n_docs", "src_tokens",
+        "(1000000 * src_tokens) div tt AS share_micro",
+        "(1000000 * tt) div (n_sources * src_tokens) AS weight_micro",
+    )
+
+
+def _sql_q28() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len({t})) AS BIGINT) AS src_tokens, COUNT(*) AS n_docs
+  FROM documents GROUP BY source HAVING SUM(len({t})) > 0),
+tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS tt, COUNT(*) AS n_sources FROM per_src)
+SELECT source, n_docs, src_tokens,
+       CAST((1000000 * src_tokens) // tt AS BIGINT) AS share_micro,
+       CAST((1000000 * tt) // (n_sources * src_tokens) AS BIGINT) AS weight_micro
+FROM per_src, tot
+"""
+
+
+# sized to the synthetic corpus's token distribution (p25=32, p50=56,
+# max~99 at sf0.01) so the histogram actually spreads; a production run
+# would use model context lengths (512..8192)
+_SEQ_BUCKETS = (16, 32, 48, 64, 96, 128)
+
+
+def q29_packing_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-packing histogram: documents bucketed by the smallest
+    max-sequence-length that holds them (cap 2048 = truncation bucket),
+    with the exact padding waste each bucket pays if packed one-doc-per-
+    sequence — the sizing input for a packing/concatenation stage."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    cases = " ".join(
+        f"WHEN n_tokens <= {b} THEN {b}" for b in _SEQ_BUCKETS
+    )
+    return (
+        d.selectExpr(f"size({toks}) AS n_tokens")
+        .filter("n_tokens > 0")
+        .selectExpr(
+            f"CASE {cases} ELSE {_SEQ_BUCKETS[-1]} END AS bucket",
+            f"CASE WHEN n_tokens > {_SEQ_BUCKETS[-1]}"
+            f" THEN {_SEQ_BUCKETS[-1]} ELSE n_tokens END AS kept",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("kept_tokens"),
+        )
+        .selectExpr(
+            "bucket", "n_docs", "kept_tokens",
+            "(1000000 * (bucket * n_docs - kept_tokens))"
+            " div (bucket * n_docs) AS waste_micro",
+        )
+    )
+
+
+def _sql_q29() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    cases = " ".join(f"WHEN n_tokens <= {b} THEN {b}" for b in _SEQ_BUCKETS)
+    top = _SEQ_BUCKETS[-1]
+    return f"""
+WITH n AS (SELECT len({t}) AS n_tokens FROM documents WHERE len({t}) > 0),
+b AS (
+  SELECT CASE {cases} ELSE {top} END AS bucket,
+         CASE WHEN n_tokens > {top} THEN {top} ELSE n_tokens END AS kept
+  FROM n)
+SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS kept_tokens,
+       CAST((1000000 * (bucket * COUNT(*) - SUM(kept))) // (bucket * COUNT(*)) AS BIGINT) AS waste_micro
+FROM b GROUP BY bucket
+"""
+
+
 def _sql_q27() -> str:
     t = _TOKS_DUCK.format(c="text")
     return f"""
@@ -1892,6 +1987,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q25_vocab_coverage": (q25_vocab_coverage, _sql_q25()),
     "q26_repeat_collapse": (q26_repeat_collapse, _sql_q26()),
     "q27_contamination": (q27_contamination, _sql_q27()),
+    "q28_mixing_weights": (q28_mixing_weights, _sql_q28()),
+    "q29_packing_histogram": (q29_packing_histogram, _sql_q29()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family

@@ -116,8 +116,35 @@ GROUP BY user_id
 """
 
 
+def st03_stream_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked tumbling-window counts (streaming/windows.py) run to
+    completion in COMPLETE mode == the batch q06 hourly aggregation.
+    Complete mode emits every window including the last open one, so the
+    stream result is exactly the batch answer on a bounded input."""
+    from .windows import hourly_event_counts_stream
+
+    events_path = os.path.join(sf, "events.parquet")
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(_as_stream_dir(events_path))
+        # parquet infers TIMESTAMP_NTZ; event-time watermarks need TIMESTAMP
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sink = _run_to_memory(hourly_event_counts_stream(stream), "complete")
+    return spark.table(sink)
+
+
+SQL_ST03 = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def registry() -> dict:
     return {
         "st01_stream_dedup": (st01_stream_dedup, SQL_ST01),
         "st02_stream_sessionize": (st02_stream_sessionize, SQL_ST02),
+        "st03_stream_hourly": (st03_stream_hourly, SQL_ST03),
     }

@@ -18,7 +18,14 @@ def hourly_event_counts_stream(events_stream: DataFrame) -> DataFrame:
         events_stream
         .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        # order-independent float sum (decimal in, double out) — the
+        # stream's partial aggregation order must not change the result
+        # vs batch q06, which uses the same decimal path
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            .alias("sum_value"),
+        )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
             "event_type", "n", "sum_value",

@@ -38,7 +38,8 @@ DOC_QUERIES = (
     "q22_rolling_hash", "dd01_exact_groups", "dd02_minhash_lsh_pairs",
     "dd03_jaccard_pairs", "dd04_simhash",
     "q23_tfidf_terms", "q24_bigram_pmi", "q25_vocab_coverage",
-    "q26_repeat_collapse", "q27_contamination",
+    "q26_repeat_collapse", "q27_contamination", "q28_mixing_weights",
+    "q29_packing_histogram",
 )
 
 
