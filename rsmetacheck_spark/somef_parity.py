@@ -264,7 +264,7 @@ _CODEMETA = (
 
 def _norm_v(x: str) -> str:
     """pitfall_utils.normalize_version: strip ^v (any case) then strip."""
-    return f"trim(regexp_replace({x}, '^[vV]', ''))"
+    return f"pstrip(regexp_replace({x}, '^[vV]', ''))"
 
 
 def _p001() -> str:
@@ -294,7 +294,7 @@ def _p017() -> str:
     )
     return (
         f"{cm} IS NOT NULL AND {cm} <> ''"
-        f" AND exists({others}, o -> trim(o.v) <> trim({cm}))"
+        f" AND exists({others}, o -> pstrip(o.v) <> pstrip({cm}))"
     )
 
 
@@ -323,13 +323,13 @@ def _p012() -> str:
     tag = f"{rel0}.rrtag"
     name_ver = rf"regexp_extract({rel0}.rrname, '(?:v)?{vnum}', 1)"
     rel = (
-        f"(CASE WHEN {tag} IS NOT NULL AND trim({tag}) <> '' THEN trim({tag})"
+        f"(CASE WHEN {tag} IS NOT NULL AND pstrip({tag}) <> '' THEN pstrip({tag})"
         f" WHEN {rel0}.rrname IS NOT NULL AND {rel0}.rrname <> ''"
         f" AND {name_ver} <> '' THEN {name_ver} ELSE NULL END)"
     )
 
     def p012norm(x: str) -> str:  # strip, lower, drop ONE leading v
-        return f"regexp_replace(lower(trim({x})), '^v', '')"
+        return f"regexp_replace(lower(pstrip({x})), '^v', '')"
 
     return (
         f"{url} IS NOT NULL AND {url} <> '' AND {dlv} <> ''"
@@ -375,8 +375,8 @@ def _p010() -> str:
         "e.cat = 'license' AND e.src IS NOT NULL"
         f" AND contains(upper(e.src), 'LICENSE') AND {_hasv()}"
     ) + ".v"
-    cl = f"lower(trim({c}))"
-    lines = rf"filter(transform(split(trim({c}), '\\n'), x -> trim(x)), x -> x <> '')"
+    cl = f"lower(pstrip({c}))"
+    lines = rf"filter(transform(split(pstrip({c}), '\\n'), x -> pstrip(x)), x -> x <> '')"
     nl = f"size({lines})"
     has_cr = f"{cl} rlike '{_P010_CR}'"
     has_lt = f"{cl} rlike '{_P010_LT}'"
@@ -426,7 +426,7 @@ _P003_RX = r"(?i)( and | & |,(?!\\s+Jr\\.?)|;|\\n)"
 
 def _p003() -> str:
     """p003.py: multiple authors in one string field (str or dict.name)."""
-    multi = lambda x: rf"trim({x}) rlike '{_P003_RX}'"  # noqa: E731
+    multi = lambda x: rf"pstrip({x}) rlike '{_P003_RX}'"  # noqa: E731
     return _ex(
         f"e.cat = 'authors' AND {TE} = 'code_parser'"
         f" AND {_any_contains(f'lower({ES})', M_LOWER)} AND {_hasv()}"
@@ -476,7 +476,7 @@ def _p005() -> str:
     """p005.py: referencePublication points at a software archive."""
     return _ex(
         f"e.cat = 'reference_publication' AND {_CODEMETA} AND {_hasv()}"
-        f" AND e.vkind = 'str' AND lower(trim(e.v)) rlike '{_P005_RX}'"
+        f" AND e.vkind = 'str' AND lower(pstrip(e.v)) rlike '{_P005_RX}'"
     )
 
 
@@ -490,7 +490,7 @@ _P006_NAMES = (
 
 def _p006() -> str:
     """p006.py: license value is a local path, not a license name."""
-    ll = "lower(trim(e.v))"
+    ll = "lower(pstrip(e.v))"
     names = ", ".join(f"'{n}'" for n in _P006_NAMES)
     local = (
         f"(NOT (startswith({ll}, 'http://') OR startswith({ll}, 'https://'))"
@@ -551,7 +551,7 @@ def _p009() -> str:
 
 def _p014() -> str:
     """p014.py: bare DOI in codemeta identifier."""
-    t = "trim(e.v)"
+    t = "pstrip(e.v)"
     return _ex(
         f"e.cat = 'identifier' AND {_CODEMETA} AND {_hasv()}"
         f" AND e.vkind = 'str' AND NOT startswith({t}, 'https://doi.org/')"
@@ -561,7 +561,7 @@ def _p014() -> str:
 
 def _p018() -> str:
     """p018.py: raw SWHID in codemeta identifier."""
-    t = "trim(e.v)"
+    t = "pstrip(e.v)"
     return _ex(
         f"e.cat = 'identifier' AND {_CODEMETA} AND {_hasv()}"
         f" AND e.vkind = 'str'"
@@ -575,7 +575,7 @@ def _w007() -> str:
     return _ex(
         f"e.cat = 'identifier' AND {_CODEMETA} AND {_hasv()}"
         " AND (e.vkind = 'null'"
-        " OR (e.vkind = 'str' AND trim(e.v) = '')"
+        " OR (e.vkind = 'str' AND pstrip(e.v) = '')"
         " OR (e.vkind = 'list' AND e.vllen = 0)"
         " OR (e.vkind = 'num' AND e.v IN ('0', '0.0')))"
     )
@@ -583,7 +583,7 @@ def _w007() -> str:
 
 def _w006_valid(x: str) -> str:
     """w006.py:5-43 is_valid_identifier as one CASE chain (str input)."""
-    t = f"trim({x})"
+    t = f"pstrip({x})"
     stripped = rf"regexp_replace({t}, '[ \\-_]', '')"
     return (
         f"(CASE WHEN {t} = '' THEN false"
@@ -633,10 +633,10 @@ _W002_FORMATS = (
 
 def _w002_parse(x: str) -> str:
     tries = ", ".join(
-        f'try_to_timestamp(trim({x}), "{f}")' for f in _W002_FORMATS
+        f'try_to_timestamp(pstrip({x}), "{f}")' for f in _W002_FORMATS
     )
     prefix = (
-        rf"try_to_timestamp(regexp_extract(trim({x}),"
+        rf"try_to_timestamp(regexp_extract(pstrip({x}),"
         rf" '^(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1), 'yyyy-MM-dd')"
     )
     return f"coalesce({tries}, {prefix})"
@@ -715,7 +715,7 @@ def _w001() -> str:
         f"({first}).v", ("==", ">=", "<=", ">", "<", "~=", "!=", "^", "~")
     )
     has_version = (
-        f"((({first}).rvstate = 'str' AND trim(({first}).rver) <> '')"
+        f"((({first}).rvstate = 'str' AND pstrip(({first}).rver) <> '')"
         f" OR (({first}).vkind = 'str' AND {ops}))"
     )
     return (
@@ -729,14 +729,14 @@ def _w005() -> str:
     single-element list), split on runs of spaces, else on capitalized
     word boundaries."""
     def multi(x: str) -> str:
-        t = f"trim({x})"
+        t = f"pstrip({x})"
         cnt1 = (
             rf"size(filter(transform(split({t}, '\\s{{2,}}'),"
-            " p -> trim(p)), p -> p <> ''))"
+            " p -> pstrip(p)), p -> p <> ''))"
         )
         cnt2 = (
             rf"size(filter(transform(split({t}, '\\s+(?=[A-Z])'),"
-            " p -> trim(p)), p -> p <> ''))"
+            " p -> pstrip(p)), p -> p <> ''))"
         )
         return (
             rf"(CASE WHEN {t} rlike '\\s{{2,}}' AND {cnt1} > 0"
@@ -762,13 +762,13 @@ def _w009() -> str:
     """w009.py: developmentStatus value looks like a URL."""
     return _ex(
         f"e.cat = 'development_status' AND {_CODEMETA} AND {_hasv()}"
-        f" AND e.vkind = 'str' AND lower(trim(e.v)) rlike '{_W009_RX}'"
+        f" AND e.vkind = 'str' AND lower(pstrip(e.v)) rlike '{_W009_RX}'"
     )
 
 
 def _w010() -> str:
     """w010.py: git remote shorthand (host:path) as codeRepository."""
-    t = "trim(e.v)"
+    t = "pstrip(e.v)"
     return _ex(
         f"e.cat = 'code_repository' AND ({TE} = 'code_parser'"
         f" OR {_any_contains(f'lower({ES})', M_LOWER_NODESC)})"
@@ -781,7 +781,7 @@ def _w010() -> str:
 
 def _p016_norm(x: str) -> str:
     """p016.py:4-21 normalize chain, in its exact order."""
-    y = f"lower(trim({x}))"
+    y = f"lower(pstrip({x}))"
     y = rf"regexp_replace({y}, '^git\\+', '')"
     y = f"regexp_replace({y}, '/$', '')"
     y = rf"regexp_replace({y}, '\\.git$', '')"
@@ -852,7 +852,7 @@ def _p007_golden() -> str:
     return (
         f"size({cffs}) > 0 AND exists({cms},"
         f" c -> contains(lower(c.v), 'http')"
-        f" AND NOT contains({cff_text}, trim(c.v)))"
+        f" AND NOT contains({cff_text}, pstrip(c.v)))"
     )
 
 
@@ -936,13 +936,13 @@ def _p012_golden() -> str:
     tag = f"{rel0}.rrtag"
     name_ver = rf"regexp_extract({rel0}.rrname, '(?:v)?{vnum}', 1)"
     rel = (
-        f"(CASE WHEN {tag} IS NOT NULL AND trim({tag}) <> '' THEN trim({tag})"
+        f"(CASE WHEN {tag} IS NOT NULL AND pstrip({tag}) <> '' THEN pstrip({tag})"
         f" WHEN {rel0}.rrname IS NOT NULL AND {rel0}.rrname <> ''"
         f" AND {name_ver} <> '' THEN {name_ver} ELSE NULL END)"
     )
 
     def norm(x: str) -> str:
-        return f"regexp_replace(lower(trim({x})), '^v', '')"
+        return f"regexp_replace(lower(pstrip({x})), '^v', '')"
 
     return (
         f"{url} IS NOT NULL AND {url} <> '' AND {ex} <> ''"
@@ -1007,6 +1007,38 @@ def _build_exprs() -> dict[str, str]:
     return RULE_EXPRS
 
 
+def _expand_pstrip(sql: str) -> str:
+    """Python's str.strip() removes \\n/\\t/\\r, Spark's trim() removes
+    ONLY spaces — a divergence the detector fuzz harness caught (a
+    trailing newline author value fired the \\n separator pattern that the
+    reference strips away first). Every .strip() mirror in the detector
+    expressions is written as pstrip(...) and macro-expanded here (a SQL
+    UDF cannot reference higher-order-function lambda variables, so this
+    must be textual)."""
+    out = []
+    i = 0
+    marker = "pstrip("
+    while True:
+        j = sql.find(marker, i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i:j])
+        depth = 1
+        k = j + len(marker)
+        while depth:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        arg = sql[j + len(marker):k - 1]
+        out.append(
+            rf"regexp_replace({_expand_pstrip(arg)}, '^\\s+|\\s+$', '')"
+        )
+        i = k
+
+
 def detect_flags(ev: DataFrame, golden_era: bool = False) -> DataFrame:
     """All 26 rules in ONE pass over the per-file evidence array. With
     golden_era=True, adds the reconstructed golden-era variants as
@@ -1019,7 +1051,7 @@ def detect_flags(ev: DataFrame, golden_era: bool = False) -> DataFrame:
     return ev.selectExpr(
         "file",
         *[
-            f"CASE WHEN {e} THEN 1 ELSE 0 END AS {r.lower()}"
+            f"CASE WHEN {_expand_pstrip(e)} THEN 1 ELSE 0 END AS {r.lower()}"
             for r, e in exprs.items()
         ],
     )
