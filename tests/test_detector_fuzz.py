@@ -67,6 +67,24 @@ REQS = [
     "tool (>= 2.0)", "  spaced  ", "Numpy Pandas Scipy", "a\tB",
 ]
 SEPS = [" ", "  ", ", ", " and ", " & ", "; ", "\n", " , Jr.", ", Jr."]
+VERSIONS = [
+    "1.2.3", "v1.2.3", "V2.0", " 1.0 ", "2.0.0.1", "1.2.3-rc1", "", "abc",
+    "v1.2.3\n", "0.1", "10.20.30",
+]
+DATES = [
+    "2024-03-05T10:00:00Z", "2024-03-05", "2024-03-05T10:00:00.720Z",
+    "2024-03-05T10:00:00", "garbage", "2024/01/01", " 2025-01-02 ",
+    "2023-11-17T00:00:00Z", "", "2024-13-45",
+]
+DL_URLS = [
+    "https://github.com/o/r/archive/v1.2.3.tar.gz",
+    "https://github.com/o/r/archive/refs/tags/v1.2.3.tar.gz",
+    "https://github.com/o/r/archive/main.zip",
+    "https://github.com/o/r/releases/tag/v1.2.3",
+    "https://files.example.org/pkg-1.2.3.zip",
+    "https://example.org/download/1.2.3/pkg.tar.gz",
+    "https://github.com/o/r/releases", "", "not a url",
+]
 
 
 def _rand_text(rng: random.Random) -> str:
@@ -133,18 +151,90 @@ def _gen_files(n: int = 500) -> dict[str, dict]:
                  "code_parser", "confidence": 1,
                  "result": {"value": v2[:80], "type": "String"}},
             ],
+            "version": [
+                {"source": "https://x/main/codemeta.json", "technique":
+                 "code_parser", "confidence": 1,
+                 "result": {"value": rng.choice(VERSIONS), "type": "String"}},
+                {"source": "https://x/main/setup.py", "technique":
+                 "code_parser", "confidence": 1,
+                 "result": {"value": rng.choice(VERSIONS), "type": "String"}},
+            ],
+            "releases": [
+                {"technique": "GitHub_API", "confidence": 1,
+                 "result": {"tag": rng.choice(VERSIONS),
+                            "name": rng.choice(VERSIONS + ["rel " + v for v in VERSIONS[:3]]),
+                            "value": "x", "type": "Release"}},
+            ],
+            "download_url": [
+                {"source": "https://x/main/codemeta.json", "technique":
+                 "code_parser", "confidence": 1,
+                 "result": {"value": rng.choice(DL_URLS), "type": "Url"}},
+            ],
+            "date_updated": [
+                {"technique": "GitHub_API", "confidence": 1,
+                 "result": {"value": rng.choice(DATES), "type": "Date"}},
+                {"source": "https://x/main/codemeta.json", "technique":
+                 "code_parser", "confidence": 1,
+                 "result": {"value": rng.choice(DATES), "type": "Date"}},
+            ],
+            "reference_publication": (
+                [{"source": "https://x/main/codemeta.json", "technique":
+                  "code_parser", "confidence": 1,
+                  "result": {"value": rng.choice(URLS), "type": "Url"}}]
+                if rng.random() < 0.7 else []
+            ) + (
+                [{"source": "https://x/main/CITATION.cff", "technique":
+                  "file_exploration", "confidence": 1,
+                  "result": {"value": rng.choice(URLS), "type": "Url"}}]
+                if rng.random() < 0.4 else []
+            ),
+            "citation": (
+                [{"source": "https://x/main/CITATION.cff", "technique":
+                  "file_exploration", "confidence": 1,
+                  "result": {"value": v1[:120], "type": "Text_excerpt"}}]
+                if rng.random() < 0.6 else []
+            ),
+            "programming_languages": [
+                {"source": "https://x/main/codemeta.json", "technique":
+                 "code_parser", "confidence": 1,
+                 "result": rng.choice([
+                     {"name": "Python", "value": "Python"},
+                     {"name": "Python", "value": "Python", "version": None},
+                     {"name": "Python", "value": "Python", "version": "3.11"},
+                     {"name": "R", "value": "R", "version": ""},
+                 ])},
+            ],
         }
+        # W001/W004 version-state coverage on the requirements entry
+        files[f"fuzz_{i}"]["requirements"][0]["result"].update(
+            rng.choice([
+                {}, {"version": None}, {"version": ""}, {"version": "1.0"},
+                {"version": "  "}, {"name": "pkg"},
+            ])
+        )
     return files
 
 
 # the rules these synthetic files exercise (those reading the categories
 # populated above)
 FUZZ_RULES = (
-    "P002", "P003", "P004", "P006", "P009", "P010", "P013", "P014",
-    "P016", "P018", "W003", "W005", "W006", "W007", "W008", "W009", "W010",
+    "P001", "P002", "P003", "P004", "P005", "P006", "P007", "P009", "P010",
+    "P012", "P013", "P014", "P016", "P017", "P018",
+    "W001", "W002", "W003", "W004", "W005", "W006", "W007", "W008", "W009",
+    "W010",
 )
 
 _REF = {
+    "P001": ("pitfalls.p001", "detect_version_mismatch"),
+    "P005": ("pitfalls.p005", "detect_reference_publication_archive_pitfall"),
+    "P007": ("pitfalls.p007",
+             "detect_citation_missing_reference_publication_pitfall"),
+    "P012": ("pitfalls.p012", "detect_outdated_download_url_pitfall"),
+    "P017": ("pitfalls.p017", "detect_codemeta_version_mismatch_pitfall"),
+    "W001": ("warnings.w001", "detect_unversioned_requirements"),
+    "W002": ("warnings.w002", "detect_outdated_datemodified"),
+    "W004": ("warnings.w004",
+             "detect_programming_language_no_version_pitfall"),
     "P002": ("pitfalls.p002", "detect_license_template_placeholders"),
     "P003": ("pitfalls.p003", "detect_multiple_authors_single_field_pitfall"),
     "P004": ("pitfalls.p004", "detect_readme_homepage_pitfall"),
