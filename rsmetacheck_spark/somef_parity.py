@@ -77,6 +77,8 @@ _ENTRY_SCHEMA = T.StructType([
     T.StructField("vnamek", T.StringType()),
     T.StructField("vllen", T.IntegerType()),     # len(value) if list
     T.StructField("vfirst", T.StringType()),     # value[0] if 1-elem list
+    T.StructField("vjoin", T.StringType()),      # p008's requirement_text
+                                                 # for list/dict values
     T.StructField("rrtag", T.StringType()),      # result.tag
     T.StructField("rrname", T.StringType()),     # result.name
     T.StructField("rvstate", T.StringType()),    # result.version state
@@ -124,6 +126,7 @@ def _normalize_one(fname: str, data: dict) -> Iterator[dict]:
             "rsrc": None, "tech": None, "has_result": False,
             "rkind": "absent", "rllen": -1, "vkind": "absent", "v": None,
             "vname": None, "vnamek": None, "vllen": -1, "vfirst": None,
+            "vjoin": None,
             "rrtag": None, "rrname": None, "rvstate": "absent", "rver": None,
         }
 
@@ -171,6 +174,19 @@ def _normalize_entries(fname: str, data: dict) -> Iterator[dict]:
                 "vfirst": (
                     v[0] if isinstance(v, list) and len(v) == 1
                     and isinstance(v[0], str) else None
+                ),
+                # p008.py:137-146's requirement_text for non-str values:
+                # lists join str(item) with ' '; dicts concatenate the
+                # name/value/description/text keys each + ' '
+                "vjoin": (
+                    " ".join(str(item) for item in v)
+                    if isinstance(v, list) else (
+                        "".join(
+                            str(v[k]) + " "
+                            for k in ("name", "value", "description", "text")
+                            if k in v
+                        ) if isinstance(v, dict) else None
+                    )
                 ),
                 "rrtag": r.get("tag") if isinstance(r, dict)
                 and isinstance(r.get("tag"), str) else None,
@@ -956,6 +972,57 @@ GOLDEN_ERA_EXPRS = {
     "P012": _p012_golden, "P013": _p013_golden,
 }
 
+
+# ---------------------------------------------------------------------------
+# Network rules under NO-NETWORK semantics: when every HTTP fetch fails
+# (the sandbox reality, and exactly what the reference's own tests mock),
+# the three detectors reduce to pure predicates over the entries. These
+# expressions mirror the reference run with `requests` patched to raise —
+# verified exactly in tests/test_reference_parity.py. The mocked-status
+# THRESHOLD logic is oracle-checked separately (evidence_net.py / ev10).
+# ---------------------------------------------------------------------------
+
+_URL_FORMAT = r"'^[A-Za-z][A-Za-z0-9+.\\-]*://[^/]+'"
+_URL_IN_TEXT = (
+    "'(?i)(https?://[^\\\\s<>\"\\']+|www\\\\.[^\\\\s<>\"\\']+)'"
+)
+
+
+def _p008_offline() -> str:
+    """p008.py with all fetches failing: fires iff a code_parser
+    metadata-source requirements entry has a URL-format string value, or
+    its requirement text (str, joined list, or dict fields) contains an
+    extractable URL."""
+    text = "(CASE WHEN e.vkind = 'str' THEN e.v ELSE coalesce(e.vjoin, '') END)"
+    return _ex(
+        f"e.cat = 'requirements' AND {TE} = 'code_parser'"
+        f" AND {_any_contains(f'lower({ES})', M_LOWER)} AND {_hasv()}"
+        f" AND ((e.vkind = 'str' AND e.v rlike {_URL_FORMAT})"
+        f" OR (NOT (e.vkind = 'str' AND e.v rlike {_URL_FORMAT})"
+        f" AND {text} <> '' AND {text} rlike {_URL_IN_TEXT}))"
+    )
+
+
+def _p011_offline() -> str:
+    """p011.py with fetches failing: any codemeta issue_tracker entry with
+    a value fires (is_url_accessible returns False on ANY exception,
+    including non-string values)."""
+    return _ex(f"e.cat = 'issue_tracker' AND {_CODEMETA} AND {_hasv()}")
+
+
+def _p015_offline() -> str:
+    """p015.py with fetches failing: any codemeta continuous_integration
+    entry with a value fires (invalid format and failed fetch both land in
+    not-accessible)."""
+    return _ex(
+        f"e.cat = 'continuous_integration' AND {_CODEMETA} AND {_hasv()}"
+    )
+
+
+OFFLINE_NETWORK_EXPRS = {
+    "P008": _p008_offline, "P011": _p011_offline, "P015": _p015_offline,
+}
+
 # rules whose golden labels still match the current source (>= 0.99 after
 # excluding the reference's own jsonld-crash files)
 GOLDEN_STABLE_RULES = tuple(
@@ -1039,14 +1106,20 @@ def _expand_pstrip(sql: str) -> str:
         i = k
 
 
-def detect_flags(ev: DataFrame, golden_era: bool = False) -> DataFrame:
+def detect_flags(ev: DataFrame, golden_era: bool = False,
+                 offline_net: bool = False) -> DataFrame:
     """All 26 rules in ONE pass over the per-file evidence array. With
     golden_era=True, adds the reconstructed golden-era variants as
-    p007_golden / p013_golden columns."""
+    p007_golden / p013_golden columns; with offline_net=True, adds the
+    no-network p008/p011/p015 columns."""
     exprs = dict(_build_exprs())
     if golden_era:
         exprs.update({
             f"{r}_golden": fn() for r, fn in GOLDEN_ERA_EXPRS.items()
+        })
+    if offline_net:
+        exprs.update({
+            r: fn() for r, fn in OFFLINE_NETWORK_EXPRS.items()
         })
     return ev.selectExpr(
         "file",

@@ -173,6 +173,73 @@ def test_golden_era_reconstructions_exact(spark_flags):
         assert not bad, f"{rule} golden-era mismatch: {bad[:5]}"
 
 
+def test_network_rules_offline_semantics(spark):
+    """P008/P011/P015 under no-network semantics: patch the reference's
+    `requests` to raise (its own tests' mock style — and the sandbox
+    reality), run the three detectors over the corpus, and require the
+    Spark offline-variant flags to agree exactly. Combined with Gate A
+    this makes all 29 detectors source-exact."""
+    sys.path.insert(0, "/root/reference/src")
+    import importlib
+
+    class _Fail:
+        class exceptions:
+            class RequestException(Exception):
+                pass
+
+        @staticmethod
+        def get(*a, **k):
+            raise _Fail.exceptions.RequestException("no network")
+
+        head = get
+
+    mods = {
+        "P008": importlib.import_module("metacheck.scripts.pitfalls.p008"),
+        "P011": importlib.import_module("metacheck.scripts.pitfalls.p011"),
+        "P015": importlib.import_module("metacheck.scripts.pitfalls.p015"),
+    }
+    fns = {
+        "P008": mods["P008"].detect_invalid_software_requirement_pitfall,
+        "P011": mods["P011"].detect_issue_tracker_format_pitfall,
+        "P015": mods["P015"].detect_ci_404_pitfall,
+    }
+    saved = {k: m.requests for k, m in mods.items()}
+    try:
+        for m in mods.values():
+            m.requests = _Fail
+        expected: dict[str, dict[str, bool]] = {}
+        for path in sorted(glob.glob(os.path.join(SOMEF_DIR, "*.json"))):
+            stem = os.path.basename(path).replace(".json", "")
+            with open(path, encoding="utf-8") as f:
+                data = json.load(f)
+            row = {}
+            for code, fn in fns.items():
+                try:
+                    row[code] = bool(fn(data, stem).get("has_pitfall", False))
+                except Exception:
+                    row[code] = False
+            expected[stem] = row
+    finally:
+        for k, m in mods.items():
+            m.requests = saved[k]
+
+    flags = detect_flags(
+        evidence_df(load_somef_entries(spark)), offline_net=True
+    )
+    mine = {
+        r["file"].replace(".json", ""): r.asDict() for r in flags.collect()
+    }
+    diffs = {}
+    for code in ("P008", "P011", "P015"):
+        bad = [
+            s for s, row in expected.items()
+            if bool(mine[s][code.lower()]) != row[code]
+        ]
+        if bad:
+            diffs[code] = bad[:5]
+    assert not diffs, f"offline network-rule disagreements: {diffs}"
+
+
 def test_crash_file_forensics():
     """The excluded files are exactly those with a non-string identifier
     value (the json_ld_utils.py:44 crash condition) AND no golden."""
