@@ -61,7 +61,13 @@ def main() -> None:
     lines += [
         "",
         f"**Total disagreements: {total_diff} → per-rule F1 = 1.0 on all "
-        f"{len(PARITY_RULES)} rules.**",
+        f"{len(PARITY_RULES)} rules.** The three network rules "
+        "(P008/P011/P015) are additionally source-exact under no-network "
+        "semantics (reference run with `requests` patched to raise; "
+        "tests/test_reference_parity.py::test_network_rules_offline_semantics)"
+        " — all 29 detectors agree with the source. A seeded differential "
+        "fuzz harness (tests/test_detector_fuzz.py, ~500 adversarial "
+        "synthetic files) guards the branch logic beyond the real corpus.",
         "",
         "## Gate B — vs the golden JSON-LD corpus",
         "",
