@@ -918,6 +918,68 @@ FROM b GROUP BY bucket
 """
 
 
+def q30_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling — the op that APPLIES q28's mixing
+    weights: keep each doc iff md5(doc_id)'s first 32 bits fall under the
+    per-source acceptance threshold (capped at 1.0). Hash-threshold
+    sampling is the only sampler that is reproducible across engines,
+    partitionings, and retries — `TABLESAMPLE`/`rand()` are none of those.
+    Output: per-source kept counts + exact expected threshold, verifying
+    the sample hits the target mix."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    per_src = (
+        d.selectExpr("source", "doc_id", f"size({toks}) AS n")
+        .withColumn(
+            "h32",
+            F.expr("CAST(conv(substr(md5(CAST(doc_id AS string)), 1, 8), 16, 10) AS bigint)"),
+        )
+    )
+    weights = (
+        per_src.groupBy("source").agg(F.sum("n").alias("src_tokens"))
+        .filter(F.col("src_tokens") > 0)
+        .crossJoin(F.broadcast(
+            per_src.agg(F.sum("n").alias("tt"),
+                        F.countDistinct("source").alias("n_sources"))
+        ))
+        # acceptance ppm = min(1e6, weight) — uniform-target weight capped
+        .selectExpr(
+            "source",
+            "least(CAST(1000000 AS bigint),"
+            " (1000000 * tt) div (n_sources * src_tokens)) AS accept_ppm",
+        )
+    )
+    return (
+        per_src.join(F.broadcast(weights), "source")
+        .filter(F.expr("h32 % 1000000 < accept_ppm"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.max("accept_ppm").alias("accept_ppm"))
+    )
+
+
+def _sql_q30() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    hex2int = (
+        "CAST(list_sum(list_transform(generate_series(1, 8), j ->"
+        " CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), CAST(j AS INTEGER), 1)) - 1 AS BIGINT)"
+        " << ((8 - CAST(j AS INTEGER)) * 4))) AS BIGINT)"
+    )
+    return f"""
+WITH per AS (
+  SELECT source, doc_id, len({t}) AS n, {hex2int} AS h32 FROM documents),
+w AS (
+  SELECT source,
+         least(CAST(1000000 AS BIGINT),
+               CAST((1000000 * tt) // (n_sources * src_tokens) AS BIGINT)) AS accept_ppm
+  FROM (SELECT source, CAST(SUM(n) AS BIGINT) AS src_tokens FROM per GROUP BY source HAVING SUM(n) > 0),
+       (SELECT CAST(SUM(n) AS BIGINT) AS tt, COUNT(DISTINCT source) AS n_sources FROM per))
+SELECT source, COUNT(*) AS n_kept, CAST(MAX(accept_ppm) AS BIGINT) AS accept_ppm
+FROM per JOIN w USING (source)
+WHERE h32 % 1000000 < accept_ppm
+GROUP BY source
+"""
+
+
 def _sql_q27() -> str:
     t = _TOKS_DUCK.format(c="text")
     return f"""
@@ -1989,6 +2051,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q27_contamination": (q27_contamination, _sql_q27()),
     "q28_mixing_weights": (q28_mixing_weights, _sql_q28()),
     "q29_packing_histogram": (q29_packing_histogram, _sql_q29()),
+    "q30_weighted_sample": (q30_weighted_sample, _sql_q30()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
