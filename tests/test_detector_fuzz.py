@@ -120,6 +120,19 @@ def _gen_files(n: int = 500) -> dict[str, dict]:
                 {"source": "https://x/main/setup.py", "technique":
                  "code_parser", "confidence": 1,
                  "result": {"value": req, "type": "String"}},
+                # non-str values exercise p008's requirement_text joining
+                # (list -> ' '.join(str); dict -> name/value/description/
+                # text concat) — absent from the real corpus
+                {"source": "https://x/main/pyproject.toml", "technique":
+                 "code_parser", "confidence": 1,
+                 "result": {"value": rng.choice([
+                     [rng.choice(REQS), rng.choice(URLS)],
+                     [rng.choice(REQS)],
+                     {"name": rng.choice(REQS), "description": rng.choice(URLS)},
+                     {"text": rng.choice(URLS)},
+                     {"other": "ignored"},
+                     None,
+                 ]), "type": "String"}},
             ],
             "readme_url": [
                 {"source": "https://x/main/codemeta.json", "technique":
@@ -294,4 +307,86 @@ def test_fuzz_matches_reference_source(spark, fuzz_corpus):
         for code in FUZZ_RULES:
             if bool(mine[fname][code.lower()]) != row[code]:
                 diffs.append((fname, code))
+    assert not diffs, f"{len(diffs)} disagreements, first: {diffs[:6]}"
+
+
+def test_fuzz_offline_network_rules(spark, fuzz_corpus):
+    """P008/P011/P015 under no-network semantics on the fuzz corpus —
+    incl. the list/dict requirement_text path (vjoin) that the real
+    corpus never exercises (its requirement values are all strings).
+    Also fuzzes issue_tracker / continuous_integration entries."""
+    import importlib
+
+    rng = random.Random(21)
+    corpus = {}
+    for fname, data in fuzz_corpus.items():
+        d = dict(data)
+        d["issue_tracker"] = (
+            [{"source": "https://x/main/codemeta.json", "technique":
+              "code_parser", "confidence": 1,
+              "result": {"value": rng.choice(URLS + [None]), "type": "Url"}}]
+            if rng.random() < 0.6 else []
+        )
+        d["continuous_integration"] = (
+            [{"source": "https://x/main/codemeta.json", "technique":
+              "code_parser", "confidence": 1,
+              "result": {"value": rng.choice(URLS), "type": "Url"}}]
+            if rng.random() < 0.6 else []
+        )
+        corpus[fname] = d
+
+    class _Fail:
+        class exceptions:
+            class RequestException(Exception):
+                pass
+
+        @staticmethod
+        def get(*a, **k):
+            raise _Fail.exceptions.RequestException("no network")
+
+        head = get
+
+    mods = {
+        "P008": importlib.import_module("metacheck.scripts.pitfalls.p008"),
+        "P011": importlib.import_module("metacheck.scripts.pitfalls.p011"),
+        "P015": importlib.import_module("metacheck.scripts.pitfalls.p015"),
+    }
+    fns = {
+        "P008": mods["P008"].detect_invalid_software_requirement_pitfall,
+        "P011": mods["P011"].detect_issue_tracker_format_pitfall,
+        "P015": mods["P015"].detect_ci_404_pitfall,
+    }
+    saved = {k: m.requests for k, m in mods.items()}
+    try:
+        for m in mods.values():
+            m.requests = _Fail
+        expected = {}
+        for fname, data in corpus.items():
+            row = {}
+            for code, fn in fns.items():
+                try:
+                    row[code] = bool(
+                        fn(data, fname + ".json").get("has_pitfall", False)
+                    )
+                except Exception:
+                    row[code] = False
+            expected[fname] = row
+    finally:
+        for k, m in mods.items():
+            m.requests = saved[k]
+
+    rows = [
+        r for fname, data in corpus.items()
+        for r in _normalize_one(fname + ".json", data)
+    ]
+    entries = spark.createDataFrame(rows, schema=_ENTRY_SCHEMA)
+    flags = detect_flags(evidence_df(entries), offline_net=True)
+    mine = {
+        r["file"].replace(".json", ""): r.asDict() for r in flags.collect()
+    }
+    diffs = [
+        (f, c) for f, row in expected.items()
+        for c in ("P008", "P011", "P015")
+        if bool(mine[f][c.lower()]) != row[c]
+    ]
     assert not diffs, f"{len(diffs)} disagreements, first: {diffs[:6]}"
