@@ -1130,6 +1130,84 @@ def detect_flags(ev: DataFrame, golden_era: bool = False,
     )
 
 
+_LANG_NORM = (
+    "CASE WHEN lower({n}) LIKE 'python%' THEN 'Python'"
+    " WHEN lower({n}) IN ('c++', 'cpp', 'cplusplus') THEN 'C++'"
+    " WHEN lower({n}) = 'java' THEN 'Java'"
+    " WHEN lower({n}) = 'c' THEN 'C'"
+    " WHEN lower({n}) = 'r' THEN 'R'"
+    " WHEN lower({n}) = 'rust' THEN 'Rust'"
+    " ELSE {n} END"
+)
+
+
+def _langs_expr() -> str:
+    """extract_programming_languages (pitfall_utils.py:7-39): per entry,
+    result['value'] if the key exists else result['name']; normalized
+    (pitfall_utils.py:42-61); filtered to the 6 target languages; deduped
+    preserving first-seen order."""
+    cand = (
+        "transform("
+        "filter(ev, e -> e.cat = 'programming_languages' AND e.has_result"
+        " AND e.rkind = 'dict'),"
+        " e -> CASE WHEN e.vkind <> 'absent' THEN e.v ELSE e.rrname END)"
+    )
+    n = "pstrip(x)"
+    norm = _LANG_NORM.format(n=n)
+    return (
+        f"array_distinct(filter(transform(filter({cand}, x -> x IS NOT NULL"
+        f" AND x <> ''), x -> {norm}),"
+        " x -> x IN ('Python', 'Java', 'C++', 'C', 'R', 'Rust')))"
+    )
+
+
+def real_summary(spark: SparkSession,
+                 somef_dir: str = SOMEF_DIR) -> "DataFrame":
+    """The reference's summary aggregate (detect_pitfalls_main.py:313-398)
+    over the real corpus: per rule, fired-file count, percentage of all
+    repos, and the per-language fired counts (languages counted once per
+    fired file). Offline-network semantics for P008/P011/P015. One job:
+    flags + language arrays computed in the same projection, exploded to
+    (rule, lang) partials, map-side combined."""
+    ev = evidence_df(load_somef_entries(spark, somef_dir))
+    exprs = dict(_build_exprs())
+    exprs.update({r: fn() for r, fn in OFFLINE_NETWORK_EXPRS.items()})
+    flagged = ev.selectExpr(
+        "file",
+        _expand_pstrip(_langs_expr()) + " AS langs",
+        *[
+            f"CASE WHEN {_expand_pstrip(e)} THEN 1 ELSE 0 END AS {r.lower()}"
+            for r, e in exprs.items()
+        ],
+    )
+    total = flagged.count()
+    rules = list(exprs)
+    pairs = ", ".join(
+        f"named_struct('rule', '{r}', 'fired', {r.lower()})" for r in rules
+    )
+    long = flagged.selectExpr(
+        "file", "langs", f"explode(array({pairs})) AS p"
+    ).selectExpr("file", "langs", "p.rule AS rule", "p.fired AS fired")
+    lang_counts = (
+        long.filter("fired = 1")
+        .selectExpr("rule", "explode(langs) AS lang")
+        .groupBy("rule", "lang").count()
+        .groupBy("rule")
+        .agg(F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("lang", "count")))
+        ).alias("languages"))
+    )
+    return (
+        long.groupBy("rule").agg(F.sum("fired").alias("count"))
+        .join(lang_counts, "rule", "left")
+        .selectExpr(
+            "rule", "count",
+            f"round(100.0 * count / {total}, 2) AS percentage",
+            "coalesce(languages, map()) AS languages",
+        )
+    )
+
+
 def golden_labels(golden_dir: str = GOLDEN_DIR) -> dict[str, set[str]]:
     """file stem -> set of fired checkIds from the golden JSON-LDs."""
     out: dict[str, set[str]] = {}

@@ -240,6 +240,70 @@ def test_network_rules_offline_semantics(spark):
     assert not diffs, f"offline network-rule disagreements: {diffs}"
 
 
+def test_summary_aggregate_matches_reference_main(spark, tmp_path):
+    """The A1-A3 aggregate layer on REAL data: run the reference's own
+    detect_all_pitfalls main loop (requests patched to raise; outputs to
+    tmp) and require our one-job Spark summary (rule, count, percentage,
+    per-language fired counts) to match its summary JSON exactly for all
+    29 rules."""
+    sys.path.insert(0, "/root/reference/src")
+    import importlib
+    from pathlib import Path
+
+    class _Fail:
+        class exceptions:
+            class RequestException(Exception):
+                pass
+
+        @staticmethod
+        def get(*a, **k):
+            raise _Fail.exceptions.RequestException("no network")
+
+        head = get
+
+    net_mods = [
+        importlib.import_module(f"metacheck.scripts.pitfalls.{m}")
+        for m in ("p008", "p011", "p015")
+    ]
+    saved = [m.requests for m in net_mods]
+    main = importlib.import_module("metacheck.detect_pitfalls_main")
+    out_json = tmp_path / "summary.json"
+    try:
+        for m in net_mods:
+            m.requests = _Fail
+        import contextlib
+        import io
+
+        with contextlib.redirect_stdout(io.StringIO()):
+            main.detect_all_pitfalls(
+                sorted(Path(SOMEF_DIR).glob("*.json")),
+                tmp_path / "jsonld",
+                out_json,
+            )
+    finally:
+        for m, r in zip(net_mods, saved):
+            m.requests = r
+
+    # the reference's summary entries use pitfall_code for P-rules (and,
+    # inconsistently, some W-rules) and warning_code for the rest
+    ref = {
+        e.get("pitfall_code") or e.get("warning_code"): e
+        for e in json.load(open(out_json))["pitfalls & warnings"]
+    }
+    from rsmetacheck_spark.somef_parity import real_summary
+
+    mine = {r["rule"]: r for r in real_summary(spark).collect()}
+    diffs = []
+    for code, e in ref.items():
+        m = mine[code]
+        if (m["count"] != e["count"]
+                or float(m["percentage"]) != float(e["percentage"])
+                or dict(m["languages"]) != e["languages"]):
+            diffs.append((code, e["count"], m["count"],
+                          e["percentage"], m["percentage"]))
+    assert not diffs, f"summary mismatches: {diffs[:6]}"
+
+
 def test_crash_file_forensics():
     """The excluded files are exactly those with a non-string identifier
     value (the json_ld_utils.py:44 crash condition) AND no golden."""
