@@ -65,9 +65,13 @@ def main() -> None:
         "(P008/P011/P015) are additionally source-exact under no-network "
         "semantics (reference run with `requests` patched to raise; "
         "tests/test_reference_parity.py::test_network_rules_offline_semantics)"
-        " — all 29 detectors agree with the source. A seeded differential "
-        "fuzz harness (tests/test_detector_fuzz.py, ~500 adversarial "
-        "synthetic files) guards the branch logic beyond the real corpus.",
+        " — all 29 detectors agree with the source. The summary AGGREGATE "
+        "(per-rule count, percentage, per-language fired maps) also equals "
+        "the reference main loop's own summary JSON exactly "
+        "(test_summary_aggregate_matches_reference_main). A seeded "
+        "differential fuzz harness (tests/test_detector_fuzz.py, ~500 "
+        "adversarial synthetic files) guards the branch logic beyond the "
+        "real corpus.",
         "",
         "## Gate B — vs the golden JSON-LD corpus",
         "",
