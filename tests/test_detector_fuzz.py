@@ -390,3 +390,14 @@ def test_fuzz_offline_network_rules(spark, fuzz_corpus):
         if bool(mine[f][c.lower()]) != row[c]
     ]
     assert not diffs, f"{len(diffs)} disagreements, first: {diffs[:6]}"
+
+
+def test_expand_pstrip_nested():
+    from rsmetacheck_spark.somef_parity import _expand_pstrip
+
+    out = _expand_pstrip("pstrip(lower(pstrip(e.v)))")
+    assert out == (
+        "regexp_replace(lower(regexp_replace(e.v, '^\\\\s+|\\\\s+$', '')),"
+        " '^\\\\s+|\\\\s+$', '')"
+    )
+    assert _expand_pstrip("no macro here") == "no macro here"
