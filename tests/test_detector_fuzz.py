@@ -27,6 +27,13 @@ from rsmetacheck_spark.somef_parity import (
 
 sys.path.insert(0, "/root/reference/src")
 
+import os  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/src"),
+    reason="reference source not present",
+)
+
 LIC_NAMES = [
     "MIT", "GPL", "GPL-3", "GPL-3.0", "GPLv3", "GPL (>= 2)", "LGPL",
     "LGPL-2.1", "AGPL", "AGPL-3.0-or-later", "Apache", "Apache-2.0",
