@@ -29,7 +29,13 @@ def _update(
     last_ts, n_sessions, n_events = (
         state.get if state.exists else (None, 0, 0)
     )
-    for pdf in pdfs:
+    # a group larger than one Arrow batch arrives as MULTIPLE chunks in
+    # shuffled-partition order — sorting per chunk would mis-order events
+    # across chunk boundaries, so concatenate the batch's chunks first and
+    # sort once (state size stays bounded by per-user events per batch)
+    chunks = [c for c in pdfs if len(c)]
+    pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    if len(pdf):
         pdf = pdf.sort_values(["ts", "event_id"])
         for ts in pdf["ts"]:
             # whole-second truncation matches the batch q05 semantics
