@@ -818,12 +818,22 @@ def _p016_norm(x: str) -> str:
 
 
 def _p016() -> str:
-    """p016.py: LAST GitHub_API repo URL vs every codemeta repo URL."""
+    """p016.py: LAST GitHub_API repo URL vs every codemeta repo URL.
+    Crash semantics replicated: the reference normalizes the (possibly
+    non-string) LAST GitHub_API value and every collected codemeta value;
+    any non-string raises inside the detector, which the main loop turns
+    into not-fired — so the flag requires the last API entry and ALL
+    codemeta entries to be strings."""
     api_entries = _flt(
         f"e.cat = 'code_repository' AND {_hasv()}"
-        f" AND {TE} = 'GitHub_API' AND e.vkind = 'str'"
+        f" AND {TE} = 'GitHub_API'"
     )
-    api = f"element_at({api_entries}, -1)"
+    api = f"try_element_at({api_entries}, -1)"
+    metas_any = _flt(
+        "e.cat = 'code_repository'"
+        f" AND {_hasv()} AND NOT {TE} = 'GitHub_API'"
+        f" AND contains(lower({ES}), 'codemeta.json')"
+    )
     metas = _flt(
         "e.cat = 'code_repository'"
         f" AND {_hasv()} AND NOT {TE} = 'GitHub_API'"
@@ -831,7 +841,8 @@ def _p016() -> str:
     )
     return (
         f"size({api_entries}) > 0"
-        f" AND ({api}).v <> ''"
+        f" AND ({api}).vkind = 'str' AND ({api}).v <> ''"
+        f" AND NOT exists({metas_any}, m -> m.vkind <> 'str')"
         f" AND exists({metas},"
         f" m -> {_p016_norm('m.v')} <> {_p016_norm(f'({api}).v')})"
     )
