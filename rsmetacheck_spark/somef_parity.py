@@ -34,8 +34,12 @@ inline), including its quirks, which are load-bearing for label parity:
     requirement.
 
 The three network rules (P008/P011/P015) need live HTTP at golden-creation
-time and are NOT reproducible offline; they are excluded from the F1 gate
-(their thresholds are oracle-checked separately in evidence_net.py / ev10).
+time, so they are excluded from the GOLDEN F1 gate; they ARE source-exact
+under no-network semantics (OFFLINE_NETWORK_EXPRS vs the reference run
+with `requests` patched to raise), and their status thresholds are
+oracle-checked separately in evidence_net.py / ev10. The summary aggregate
+(real_summary) reproduces the reference main loop's per-rule count /
+percentage / language breakdown exactly.
 """
 
 from __future__ import annotations
