@@ -196,3 +196,15 @@ def test_identifier_semantics(spark):
     assert got[3]["p018"] == 1 and got[1]["p018"] == 0
     assert got[4]["w007"] == 1
     assert got[5]["w006"] == 1 and got[6]["w006"] == 0
+
+
+def test_ev09_covers_all_29_rules(spark):
+    """The one-scan summary must keep covering every detector the
+    reference's main loop runs: 19 P-rules + 10 W-rules = 29 (evidence
+    families + the three network rules)."""
+    from rsmetacheck_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["ev09_rule_summary"]
+    rules = {r.rule for r in fn(spark, SF).collect()}
+    assert len(rules) == 29
+    assert {"p001", "p008", "p011", "p015", "w001", "w010"} <= rules
