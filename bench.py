@@ -44,7 +44,7 @@ BENCH_QUERIES = (
     "q21_median_chars_by_source", "q22_rolling_hash",
     "q23_tfidf_terms", "q24_bigram_pmi", "q25_vocab_coverage",
     "q26_repeat_collapse", "q27_contamination", "q28_mixing_weights",
-    "q29_packing_histogram", "q30_weighted_sample",
+    "q29_packing_histogram", "q30_weighted_sample", "q31_chunk_windows",
     "dd05_embedding_pairs", "sim01_ann_topk", "sim02_ann_lsh_topk",
     "sim03_ivf_search", "sim04_batch_knn", "ev09_rule_summary",
     "ev10_network_rules",

@@ -980,6 +980,67 @@ GROUP BY source
 """
 
 
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48  # 16-token overlap
+
+
+def q31_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-training chunker: split each document's token stream into
+    fixed-size overlapping windows (len 64, stride 48 — the standard
+    sliding-window shape). Map-only: sequence + slice array expressions,
+    one explode, no shuffle before the (bounded) output projection.
+    Emits (doc_id, chunk_idx, n_chunk_tokens, chunk_md5) for doc_id < 200;
+    the md5 is over the space-joined window so the oracle can verify the
+    exact chunk CONTENT, not just counts."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    toks = _TOKS_SPARK.format(c="text")
+    n_chunks = (
+        f"CASE WHEN size(t) = 0 THEN 0"
+        f" WHEN size(t) <= {_CHUNK_LEN} THEN 1"
+        f" ELSE 1 + CAST(ceil((size(t) - {_CHUNK_LEN})"
+        f" / CAST({_CHUNK_STRIDE} AS double)) AS int) END"
+    )
+    return (
+        d.selectExpr("doc_id", f"{toks} AS t")
+        .selectExpr("doc_id", "t", f"{n_chunks} AS nc")
+        .filter("nc > 0")
+        .selectExpr("doc_id", "t", "explode(sequence(0, nc - 1)) AS chunk_idx")
+        .selectExpr(
+            "doc_id", "chunk_idx",
+            f"slice(t, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_LEN}) AS w",
+        )
+        .selectExpr(
+            "doc_id", "chunk_idx",
+            "size(w) AS n_chunk_tokens",
+            "md5(array_join(w, ' ')) AS chunk_md5",
+        )
+    )
+
+
+def _sql_q31() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH tk AS (SELECT doc_id, {t} AS t FROM documents WHERE doc_id < 200),
+n AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) = 0 THEN 0
+              WHEN len(t) <= {_CHUNK_LEN} THEN 1
+              ELSE 1 + CAST(ceil((len(t) - {_CHUNK_LEN}) * 1.0 / {_CHUNK_STRIDE}) AS INTEGER) END AS nc
+  FROM tk),
+ex AS (
+  SELECT doc_id, t, CAST(i AS INTEGER) AS chunk_idx
+  FROM n, unnest(generate_series(0, nc - 1)) AS g(i)
+  WHERE nc > 0),
+w AS (
+  SELECT doc_id, chunk_idx,
+         t[chunk_idx * {_CHUNK_STRIDE} + 1 : chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_LEN}] AS w
+  FROM ex)
+SELECT doc_id, chunk_idx, CAST(len(w) AS INTEGER) AS n_chunk_tokens,
+       md5(array_to_string(w, ' ')) AS chunk_md5
+FROM w
+"""
+
+
 def _sql_q27() -> str:
     t = _TOKS_DUCK.format(c="text")
     return f"""
@@ -2052,6 +2113,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q28_mixing_weights": (q28_mixing_weights, _sql_q28()),
     "q29_packing_histogram": (q29_packing_histogram, _sql_q29()),
     "q30_weighted_sample": (q30_weighted_sample, _sql_q30()),
+    "q31_chunk_windows": (q31_chunk_windows, _sql_q31()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family

@@ -39,7 +39,7 @@ DOC_QUERIES = (
     "dd03_jaccard_pairs", "dd04_simhash",
     "q23_tfidf_terms", "q24_bigram_pmi", "q25_vocab_coverage",
     "q26_repeat_collapse", "q27_contamination", "q28_mixing_weights",
-    "q29_packing_histogram", "q30_weighted_sample",
+    "q29_packing_histogram", "q30_weighted_sample", "q31_chunk_windows",
 )
 
 
