@@ -77,3 +77,34 @@ def test_edge_query_matches_duckdb(spark, edge_dir, name):
     )
     assert sorted(dcols) == scols
     assert srows == drows, f"{name}: {srows[:3]} vs {drows[:3]}"
+
+
+def test_q31_chunk_invariants(spark):
+    """Window algebra: every token is covered, consecutive chunks overlap
+    by exactly len-stride, and only the last chunk may be short."""
+    from rsmetacheck_spark.queries import (
+        _CHUNK_LEN, _CHUNK_STRIDE, REGISTRY, _TOKS_SPARK,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    chunks = {}
+    for r in REGISTRY["q31_chunk_windows"][0](spark, sf).collect():
+        chunks.setdefault(r.doc_id, {})[r.chunk_idx] = r.n_chunk_tokens
+    toks = _TOKS_SPARK.format(c="text")
+    n_tokens = {
+        r.doc_id: r.n for r in
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter("doc_id < 200").selectExpr("doc_id", f"size({toks}) AS n")
+        .collect()
+    }
+    for doc_id, n in n_tokens.items():
+        got = chunks.get(doc_id, {})
+        if n == 0:
+            assert got == {}, doc_id
+            continue
+        k = len(got)
+        assert sorted(got) == list(range(k)), doc_id
+        # full coverage: last chunk reaches the end of the token stream
+        assert (k - 1) * _CHUNK_STRIDE + got[k - 1] == n, doc_id
+        # all but the last chunk are full-length
+        assert all(got[i] == _CHUNK_LEN for i in range(k - 1)), doc_id
