@@ -175,9 +175,15 @@ def _gen_files(n: int = 500) -> dict[str, dict]:
                 {"source": "https://x/main/codemeta.json", "technique":
                  "code_parser", "confidence": 1,
                  "result": {"value": rng.choice(VERSIONS), "type": "String"}},
+                # p001's elif branch: no top-level source, the metadata
+                # filename lives in result.source instead
                 {"source": "https://x/main/setup.py", "technique":
                  "code_parser", "confidence": 1,
-                 "result": {"value": rng.choice(VERSIONS), "type": "String"}},
+                 "result": {"value": rng.choice(VERSIONS), "type": "String"}}
+                if rng.random() < 0.5 else
+                {"technique": "code_parser", "confidence": 1,
+                 "result": {"value": rng.choice(VERSIONS), "type": "String",
+                            "source": "https://x/main/setup.py"}},
             ],
             "releases": [
                 {"technique": "GitHub_API", "confidence": 1,
@@ -193,8 +199,13 @@ def _gen_files(n: int = 500) -> dict[str, dict]:
             "date_updated": [
                 {"technique": "GitHub_API", "confidence": 1,
                  "result": {"value": rng.choice(DATES), "type": "Date"}},
+                # alternate between the source-bearing branch and w002's
+                # elif branch (no source key, technique == code_parser)
                 {"source": "https://x/main/codemeta.json", "technique":
                  "code_parser", "confidence": 1,
+                 "result": {"value": rng.choice(DATES), "type": "Date"}}
+                if rng.random() < 0.5 else
+                {"technique": "code_parser", "confidence": 1,
                  "result": {"value": rng.choice(DATES), "type": "Date"}},
             ],
             "reference_publication": (
