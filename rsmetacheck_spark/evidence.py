@@ -639,13 +639,16 @@ _P010_LT = (
 # P013's six family/version pattern pairs (p013.py:28-37). The reference
 # searches rf"\b{name}\b" against the UPPERCASED value WITHOUT ignorecase,
 # so the mixed-case "Apache" family can never match — replicated verbatim.
+# Every version pattern keeps the reference's leading \b (p013.py:29-34):
+# without it, 'LGPL-2.1 GPL' would match GPL-2.1 INSIDE 'LGPL-2.1' and
+# wrongly suppress the standalone-unversioned-GPL flag.
 _P013_FAMS = (
-    ("GPL", "GPL[-\\s]?\\d+(\\.\\d+)?"),
-    ("LGPL", "LGPL[-\\s]?\\d+(\\.\\d+)?"),
-    ("AGPL", "AGPL[-\\s]?\\d+(\\.\\d+)?"),
-    ("Apache", "Apache[-\\s]?\\d+(\\.\\d+)?"),
-    ("CC", "CC[- ]BY[-\\s]?\\d+(\\.\\d+)?"),
-    ("BSD", "BSD[-\\s]\\d+[-\\s]Clause"),
+    ("GPL", "\\bGPL[-\\s]?\\d+(\\.\\d+)?"),
+    ("LGPL", "\\bLGPL[-\\s]?\\d+(\\.\\d+)?"),
+    ("AGPL", "\\bAGPL[-\\s]?\\d+(\\.\\d+)?"),
+    ("Apache", "\\bApache[-\\s]?\\d+(\\.\\d+)?"),
+    ("CC", "\\bCC[- ]BY[-\\s]?\\d+(\\.\\d+)?"),
+    ("BSD", "\\bBSD[-\\s]\\d+[-\\s]Clause"),
 )
 
 

@@ -87,13 +87,16 @@ def net_expr(d: Dia) -> str:
         f" ELSE 'invalid ci link' END)"
     )
     req_v = (
-        f"(CASE {did} % 6"
+        f"(CASE {did} % 7"
         f" WHEN 0 THEN 'https://pypi.example.org/project/pkg' || {s(f'{did} % 30')} || '/'"
         f" WHEN 1 THEN 'requires numpy>=1.0 see https://numpy.example.org/doc'"
         f" || {s(f'{did} % 9')} || ' for details'"
         f" WHEN 2 THEN 'plain requirement text no urls here'"
         f" WHEN 3 THEN 'see www.tools.example.net/setup' || {s(f'{did} % 11')} || ', then install'"
         f" WHEN 4 THEN 'https://files.example.com/whl/' || {s(did)} || '.whl'"
+        # overlap case: the two findall passes BOTH match — the bare
+        # 'www.' duplicate is format-invalid, so P008 must always fire
+        f" WHEN 5 THEN 'home at https://www.pkg.example.org/r' || {s(f'{did} % 5')} || ' ok'"
         f" ELSE 'docs at https://docs.example.io/a' || {s(f'{did} % 7')} || '. end' END)"
     )
 
@@ -262,9 +265,12 @@ _DUCK_HEX32 = (
 
 _DUCK_VALID = "regexp_matches({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/\\s]+')"
 
+# Two separate passes, matching p008.py:65-73's overlapping findall calls
+# (text with 'https://www.X' yields BOTH the https URL and a bare 'www.X').
 _DUCK_EXTRACT = (
-    "list_transform("
-    "regexp_extract_all({v}, '(?i)(https?://[^\\s<>\"'']+|www\\.[^\\s<>\"'']+)', 1),"
+    "list_transform(list_concat("
+    "regexp_extract_all({v}, '(?i)(https?://[^\\s<>\"'']+)', 1),"
+    "regexp_extract_all({v}, '(?i)(www\\.[^\\s<>\"'']+)', 1)),"
     " u -> regexp_replace(u, '[,;.!?)]$', ''))"
 )
 

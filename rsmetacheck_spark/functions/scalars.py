@@ -48,12 +48,16 @@ def url_is_valid(u: Column) -> Column:
 
 def extract_urls(text: Column) -> Column:
     """URL extraction from free text (p008.py:58-81), reference-exact:
-    case-insensitive https?:// and www. patterns excluding <>\"' stoppers,
-    then strip exactly ONE trailing [,;.!?)] character (re.sub with an
-    anchored single-char class replaces one match)."""
+    TWO separate findall passes (https?:// then www.) whose matches may
+    OVERLAP — 'https://www.X' yields BOTH 'https://www.X' and 'www.X',
+    the latter always format-invalid, so P008 always fires on such text.
+    A single alternation would miss the bare-www duplicate. Then strip
+    exactly ONE trailing [,;.!?)] character (re.sub with an anchored
+    single-char class replaces one match)."""
     return F.transform(
-        F.regexp_extract_all(
-            text, F.lit(r"(?i)(https?://[^\s<>\"']+|www\.[^\s<>\"']+)"), 1
+        F.concat(
+            F.regexp_extract_all(text, F.lit(r"(?i)(https?://[^\s<>\"']+)"), 1),
+            F.regexp_extract_all(text, F.lit(r"(?i)(www\.[^\s<>\"']+)"), 1),
         ),
         lambda u: F.regexp_replace(u, r"[,;.!?)]$", ""),
     )

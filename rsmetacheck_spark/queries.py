@@ -872,9 +872,11 @@ _SEQ_BUCKETS = (16, 32, 48, 64, 96, 128)
 
 def q29_packing_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence-packing histogram: documents bucketed by the smallest
-    max-sequence-length that holds them (cap 2048 = truncation bucket),
-    with the exact padding waste each bucket pays if packed one-doc-per-
-    sequence — the sizing input for a packing/concatenation stage."""
+    max-sequence-length that holds them (cap _SEQ_BUCKETS[-1] = 128,
+    corpus-sized — production would use model context lengths 512..8192;
+    docs over the cap land in the top bucket TRUNCATED to it), with the
+    exact padding waste each bucket pays if packed one-doc-per-sequence —
+    the sizing input for a packing/concatenation stage."""
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
     cases = " ".join(
@@ -935,12 +937,16 @@ def q30_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("CAST(conv(substr(md5(CAST(doc_id AS string)), 1, 8), 16, 10) AS bigint)"),
         )
     )
-    weights = (
+    # tt / n_sources over the SAME filtered per-source aggregate q28 uses
+    # (zero-token sources excluded), so q30 applies exactly q28's weights
+    src_tok = (
         per_src.groupBy("source").agg(F.sum("n").alias("src_tokens"))
         .filter(F.col("src_tokens") > 0)
-        .crossJoin(F.broadcast(
-            per_src.agg(F.sum("n").alias("tt"),
-                        F.countDistinct("source").alias("n_sources"))
+    )
+    weights = (
+        src_tok.crossJoin(F.broadcast(
+            src_tok.agg(F.sum("src_tokens").alias("tt"),
+                        F.count("*").alias("n_sources"))
         ))
         # acceptance ppm = min(1e6, weight) — uniform-target weight capped
         .selectExpr(
@@ -967,12 +973,15 @@ def _sql_q30() -> str:
     return f"""
 WITH per AS (
   SELECT source, doc_id, len({t}) AS n, {hex2int} AS h32 FROM documents),
+st AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS src_tokens
+  FROM per GROUP BY source HAVING SUM(n) > 0),
 w AS (
   SELECT source,
          least(CAST(1000000 AS BIGINT),
                CAST((1000000 * tt) // (n_sources * src_tokens) AS BIGINT)) AS accept_ppm
-  FROM (SELECT source, CAST(SUM(n) AS BIGINT) AS src_tokens FROM per GROUP BY source HAVING SUM(n) > 0),
-       (SELECT CAST(SUM(n) AS BIGINT) AS tt, COUNT(DISTINCT source) AS n_sources FROM per))
+  FROM st,
+       (SELECT CAST(SUM(src_tokens) AS BIGINT) AS tt, COUNT(*) AS n_sources FROM st))
 SELECT source, COUNT(*) AS n_kept, CAST(MAX(accept_ppm) AS BIGINT) AS accept_ppm
 FROM per JOIN w USING (source)
 WHERE h32 % 1000000 < accept_ppm
@@ -2133,3 +2142,30 @@ REGISTRY.update(_net_registry())
 from .streaming.oracle_rows import registry as _st_registry  # noqa: E402
 
 REGISTRY.update(_st_registry())
+
+# The driver CORRECTNESS gate samples the first N registry entries in
+# insertion order (round 3 took 50 of 56, so the tail 6 never got a
+# driver row). Rotate the never-driver-confirmed entries to the front
+# and the longest-confirmed ones (green in rounds 1, 2 AND 3) to the
+# back so every entry accumulates a driver-green row across rounds.
+_FRONT = [
+    "ev08_version_presence_rules",
+    "ev09_rule_summary",
+    "ev10_network_rules",
+    "st01_stream_dedup",
+    "st02_stream_sessionize",
+    "st03_stream_hourly",
+]
+_BACK = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_topk_orders_per_priority",
+    "q04_latest_event_per_user",
+    "q05_sessionize",
+    "q06_events_hourly",
+]
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in _FRONT and k not in _BACK},
+    **{k: REGISTRY[k] for k in _BACK},
+}

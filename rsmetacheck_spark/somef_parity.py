@@ -434,12 +434,14 @@ def _p013() -> str:
     UPPERCASED value (which makes 'Apache' unmatchable — kept as-is)."""
     fam = []
     for name, ver_pat in (
-        ("GPL", r"GPL[-\\s]?\\d+(\\.\\d+)?"),
-        ("LGPL", r"LGPL[-\\s]?\\d+(\\.\\d+)?"),
-        ("AGPL", r"AGPL[-\\s]?\\d+(\\.\\d+)?"),
-        ("Apache", r"Apache[-\\s]?\\d+(\\.\\d+)?"),
-        ("CC", r"CC[- ]BY[-\\s]?\\d+(\\.\\d+)?"),
-        ("BSD", r"BSD[-\\s]\\d+[-\\s]Clause"),
+        # leading \b kept from p013.py:29-34 — without it GPL-2.1 matches
+        # INSIDE 'LGPL-2.1' and suppresses a standalone unversioned GPL
+        ("GPL", r"\\bGPL[-\\s]?\\d+(\\.\\d+)?"),
+        ("LGPL", r"\\bLGPL[-\\s]?\\d+(\\.\\d+)?"),
+        ("AGPL", r"\\bAGPL[-\\s]?\\d+(\\.\\d+)?"),
+        ("Apache", r"\\bApache[-\\s]?\\d+(\\.\\d+)?"),
+        ("CC", r"\\bCC[- ]BY[-\\s]?\\d+(\\.\\d+)?"),
+        ("BSD", r"\\bBSD[-\\s]\\d+[-\\s]Clause"),
     ):
         fam.append(
             rf"(upper(e.v) rlike '\\b{name}\\b'"

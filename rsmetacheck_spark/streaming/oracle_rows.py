@@ -63,7 +63,13 @@ def st01_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     docs_path = os.path.join(sf, "documents.parquet")
     schema = spark.read.parquet(docs_path).schema
     stream = (
-        spark.readStream.schema(schema).parquet(_as_stream_dir(docs_path))
+        spark.readStream.schema(schema)
+        # n_kept=1 per key only holds while the availableNow run is a
+        # SINGLE micro-batch: across batches dropDuplicatesWithinWatermark
+        # evicts state past the 10s horizon and re-emits. Pin the batch
+        # count explicitly instead of relying on the input being one file.
+        .option("maxFilesPerTrigger", 1_000_000)
+        .parquet(_as_stream_dir(docs_path))
         # deterministic synthetic event time (documents carry none)
         .withColumn(
             "warc_ts",

@@ -79,16 +79,26 @@ def test_extract_urls_reference_exact(spark):
     # p008.py:58-81: finds https?:// and www. URLs, strips ONE trailing
     # [,;.!?)] character, case-insensitive.
     df = spark.createDataFrame(
-        [(
-            "see https://a.example/x, docs at WWW.B.example/y. "
-            "also (https://c.example/z)) end",
-        )],
+        [
+            (
+                "see https://a.example/x, docs at WWW.B.example/y. "
+                "also (https://c.example/z)) end",
+            ),
+            # the two findall passes OVERLAP: https://www.X yields both
+            ("home at https://www.pkg.example.org/r2 ok",),
+        ],
         "t string",
     ).select(extract_urls(F.col("t")).alias("urls"))
-    assert df.collect()[0].urls == [
+    rows = df.collect()
+    assert rows[0].urls == [
+        # reference order: ALL https matches first, then all www matches
         "https://a.example/x",
-        "WWW.B.example/y",
         "https://c.example/z)",  # one strip only, like re.sub anchored class
+        "WWW.B.example/y",
+    ]
+    assert rows[1].urls == [
+        "https://www.pkg.example.org/r2",
+        "www.pkg.example.org/r2",  # bare-www duplicate, always format-invalid
     ]
 
 
@@ -134,7 +144,7 @@ def _py_expected(doc_id: int) -> tuple[int, int, int]:
         p015 = 1 if u is None or not ok15(_py_status(u)) else 0
 
     # p008: setup.py requirement entry, always present
-    m = doc_id % 6
+    m = doc_id % 7
     if m == 0:
         p008 = 0 if ok8(_py_status(f"https://pypi.example.org/project/pkg{doc_id % 30}/")) else 1
     elif m == 1:
@@ -145,6 +155,11 @@ def _py_expected(doc_id: int) -> tuple[int, int, int]:
         p008 = 1  # www. URL -> invalid format -> always inaccessible
     elif m == 4:
         p008 = 0 if ok8(_py_status(f"https://files.example.com/whl/{doc_id}.whl")) else 1
+    elif m == 5:
+        # https://www. overlap: the bare-www duplicate from the second
+        # findall pass is format-invalid, so p008 fires regardless of the
+        # https URL's status (p008.py:65-73 overlapping passes)
+        p008 = 1
     else:
         p008 = 0 if ok8(_py_status(f"https://docs.example.io/a{doc_id % 7}")) else 1
     return p008, p011, p015
@@ -171,9 +186,9 @@ def test_ev10_decoys_do_not_fire(net_flags):
     # filter leaked.
     odd = [r for d, r in net_flags.items() if d % 2 == 1]
     assert odd and all(r.p011 == 0 for r in odd)
-    # doc_id % 6 == 2 docs have a URL-free requirement text; the
+    # doc_id % 7 == 2 docs have a URL-free requirement text; the
     # somef_heuristics decoy ('www.broken.example/req') would fire p008.
-    no_url = [r for d, r in net_flags.items() if d % 6 == 2]
+    no_url = [r for d, r in net_flags.items() if d % 7 == 2]
     assert no_url and all(r.p008 == 0 for r in no_url)
 
 
