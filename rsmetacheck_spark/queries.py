@@ -651,58 +651,28 @@ def dd06_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
     Every real dedup pipeline consumes groups (pick one representative,
     drop the rest), not pair lists.
 
-    Spark algorithm: iterative min-label propagation — each round every
-    node takes min(own label, neighbors' labels); rounds = graph diameter
-    (near-dup clusters are small, so a handful). Each round is one
-    equi-join + groupBy-min, labels are checkpointed to scratch parquet
-    per round (bounded lineage — the standard driver-loop CC shape; at
-    trillion-edge scale the upgrade is large-star/small-star, same
-    per-round join structure). Convergence is detected by an exact
-    changed-count action; a 25-round cap guards pathological chains.
+    Spark algorithm: alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — each half-round is
+    one groupBy-min + one equi-join over the edge set, which contracts
+    toward stars (every node edged directly to its component minimum).
+    Rounds grow with log(n), NOT with component diameter, so a
+    pathological million-node duplicate chain converges in a handful of
+    rounds where plain min-label propagation needs a million. Edges are
+    checkpointed to scratch parquet per round (bounded lineage) and
+    convergence is ONE action per round: (count, sum-of-xxhash64) over
+    the canonical edge set, fixed point = unchanged stats.
 
     Oracle: an independent formulation — DuckDB recursive CTE computing
     min reachable node over the symmetric edge set."""
+    from .operators.cc import largestar_components
+
     pairs = dd02_minhash_lsh_pairs(spark, sf).select("id_a", "id_b")
-    edges = _checkpoint(
-        pairs.selectExpr("id_a AS src", "id_b AS dst")
-        .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst")),
-        "dd06_edges", key=f"dd06_edges:{_sfkey(sf)}",
-    )
-    labels = edges.selectExpr("src AS doc_id").distinct().selectExpr(
-        "doc_id", "doc_id AS rep"
-    )
-    changed = 0
-    for _round in range(25):
-        prop = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("rep").alias("nbr_rep"))
-        )
-        new_labels = _checkpoint(
-            labels.join(prop, "doc_id", "left").selectExpr(
-                "doc_id", "least(rep, coalesce(nbr_rep, rep)) AS rep"
-            ),
-            f"dd06_labels_{_round}",
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.rep") != F.col("o.rep"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
-        # A component with diameter > 25 would otherwise return PARTIAL
-        # labels that silently diverge from the recursive-CTE oracle.
-        raise RuntimeError(
-            f"dd06 min-label propagation did not converge in 25 rounds "
-            f"({changed} labels still changing) — duplicate-chain diameter "
-            f"exceeds the cap; raise the round cap or switch to "
-            f"large-star/small-star."
-        )
-    return labels.selectExpr("doc_id", "rep AS group_rep")
+
+    def ckpt(df: DataFrame, tag: str) -> DataFrame:
+        key = f"dd06_edges:{_sfkey(sf)}" if tag == "cc_edges" else None
+        return _checkpoint(df, f"dd06_{tag}", key=key)
+
+    return largestar_components(pairs, ckpt)
 
 
 def _sql_dd06() -> str:
@@ -1178,13 +1148,30 @@ FROM documents WHERE doc_id < 30
 # controls candidate volume (random-pair rate ~ L/2^K: ~6% here), L buys
 # recall back; at 100 TB, K grows with corpus size (K ~ log2(n/bucket))
 # and the shuffle is always an equi-join on (table, bucket), never
-# all-pairs. At the aggressive 0.45 threshold (p~0.65, near-random
-# vectors) K=6/L=8 recalls ~40% of boundary pairs while pruning 94% of
-# the quadratic pair space; at real near-dup thresholds (c>=0.8, p>=0.8)
-# the same parameters recall >90% — the classic LSH trade, stated rather
-# than hidden.
+# all-pairs. MULTI-PROBE (distance-1): the probe side of the self-join
+# emits, per table, the base signature PLUS every single-bit flip (K+1
+# keys); the build side emits the base only. A pair within Hamming
+# distance 1 in ANY table becomes a candidate, lifting per-table match
+# probability from p^K to p^K + K*p^(K-1)*(1-p) at the cost of a (K+1)x
+# larger probe side — cheaper than the extra hash tables that would buy
+# the same recall (L' ~= 5L), and the join stays an equi-join. With
+# K=8/L=8 + probe-1 the boundary recall model gives ~0.99 at cosine 0.8
+# and ~0.77 at 0.45 (measured figures in PLANS.md §6), while the
+# random-pair candidate rate stays ~(K+1)*L/2^K ~= 28%. At 100 TB, K
+# grows with corpus size (K ~ log2(n/bucket)) and probing radius 1 keeps
+# the probe-side blowup linear in K.
 DD05_TABLES = 8
-DD05_PLANES = 6
+DD05_PLANES = 8
+
+
+def _flip_bit(sig: str, i: int) -> str:
+    """Expr (valid in BOTH dialects) flipping char i (0-based) of the
+    K-char sign signature `sig`."""
+    p = i + 1
+    flip = f"(CASE WHEN substr({sig}, {p}, 1) = '1' THEN '0' ELSE '1' END)"
+    head = f"substr({sig}, 1, {p - 1}), " if i > 0 else ""
+    tail = f", substr({sig}, {p + 1})" if i < DD05_PLANES - 1 else ""
+    return f"concat({head}{flip}{tail})"
 
 
 def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1202,14 +1189,28 @@ def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", "transform(embedding, x -> CAST(x AS double)) AS v"
     ).selectExpr("vec_id", f"transform(v, x -> x / {norm}) AS u")
     mat = _checkpoint(e, "dd05_unit", key=f"dd05_unit:{_sfkey(sf)}")
-    tbl_exprs = []
+    # signatures computed ONCE per table, then base/probe keys are cheap
+    # string edits of the K-char signature (no dot-product recompute)
+    sig_exprs = []
     for tbl in range(DD05_TABLES):
         b_spark, _ = _bucket_exprs("u", n_planes=DD05_PLANES, seed=177 + tbl)
-        tbl_exprs.append(f"concat('{tbl}:', {b_spark})")
-    bkts = mat.selectExpr(
-        "vec_id", f"explode(array({', '.join(tbl_exprs)})) AS bucket_key"
+        sig_exprs.append(f"{b_spark} AS sig{tbl}")
+    sigs = mat.selectExpr("vec_id", *sig_exprs)
+    base_keys, probe_keys = [], []
+    for tbl in range(DD05_TABLES):
+        base_keys.append(f"concat('{tbl}:', sig{tbl})")
+        probe_keys.append(f"concat('{tbl}:', sig{tbl})")
+        probe_keys += [
+            f"concat('{tbl}:', {_flip_bit(f'sig{tbl}', i)})"
+            for i in range(DD05_PLANES)
+        ]
+    base = sigs.selectExpr(
+        "vec_id", f"explode(array({', '.join(base_keys)})) AS bucket_key"
     )
-    a, b = bkts.alias("a"), bkts.alias("b")
+    probe = sigs.selectExpr(
+        "vec_id", f"explode(array({', '.join(probe_keys)})) AS bucket_key"
+    )
+    a, b = probe.alias("a"), base.alias("b")
     cand = (
         a.join(b, (F.col("a.bucket_key") == F.col("b.bucket_key"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -1227,19 +1228,27 @@ def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_dd05() -> str:
-    tbl_exprs = []
+    sig_exprs, base_keys, probe_keys = [], [], []
     for tbl in range(DD05_TABLES):
         _, b_duck = _bucket_exprs("u", n_planes=DD05_PLANES, seed=177 + tbl)
-        tbl_exprs.append(f"'{tbl}:' || {b_duck}")
+        sig_exprs.append(f"{b_duck} AS sig{tbl}")
+        base_keys.append(f"'{tbl}:' || sig{tbl}")
+        probe_keys.append(f"'{tbl}:' || sig{tbl}")
+        probe_keys += [
+            f"'{tbl}:' || {_flip_bit(f'sig{tbl}', i)}"
+            for i in range(DD05_PLANES)
+        ]
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 un AS (SELECT vec_id,
               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
        FROM e),
-bkts AS (SELECT vec_id, unnest([{', '.join(tbl_exprs)}]) AS bucket_key FROM un),
+sigs AS (SELECT vec_id, {', '.join(sig_exprs)} FROM un),
+base AS (SELECT vec_id, unnest([{', '.join(base_keys)}]) AS bucket_key FROM sigs),
+probe AS (SELECT vec_id, unnest([{', '.join(probe_keys)}]) AS bucket_key FROM sigs),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM bkts a JOIN bkts b ON a.bucket_key = b.bucket_key AND a.vec_id < b.vec_id)
+  FROM probe a JOIN base b ON a.bucket_key = b.bucket_key AND a.vec_id < b.vec_id)
 SELECT id_a, id_b,
        ROUND(list_dot_product(va.u, vb.u), 6) AS cos_sim
 FROM cand JOIN un va ON cand.id_a = va.vec_id JOIN un vb ON cand.id_b = vb.vec_id
