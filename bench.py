@@ -33,22 +33,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_QUERIES = (
-    "q01_pricing_summary", "q02_revenue_by_nation", "q03_topk_orders_per_priority",
-    "q04_latest_event_per_user", "q05_sessionize", "q06_events_hourly",
-    "q07_doc_rule_hits", "q08_keep_rate_by_lang", "q09_langid_vote",
-    "q10_token_stats_by_source", "q11_top_ngrams", "q12_fingerprints",
-    "dd01_exact_groups", "dd02_minhash_lsh_pairs", "dd06_dup_groups",
-    "dd07_group_best", "dd03_jaccard_pairs", "dd04_simhash", "q13_props_json", "q14_rollup_docs", "q15_pivot_events",
-    "q16_setops", "q17_asof_join", "q19_ivf_centroids", "q20_quality_score",
-    "q21_median_chars_by_source", "q22_rolling_hash",
-    "q23_tfidf_terms", "q24_bigram_pmi", "q25_vocab_coverage",
-    "q26_repeat_collapse", "q27_contamination", "q28_mixing_weights",
-    "q29_packing_histogram", "q30_weighted_sample", "q31_chunk_windows",
-    "dd05_embedding_pairs", "sim01_ann_topk", "sim02_ann_lsh_topk",
-    "sim03_ivf_search", "sim04_batch_knn", "ev09_rule_summary",
-    "ev10_network_rules",
-)
+# Times EVERY registry entry (56 as of round 4) so a regression anywhere
+# in the query surface — evidence rules, streaming rows, multimodal —
+# shows up in the per-round BENCH_r{N}.json, not just the curated subset.
+def bench_queries() -> tuple[str, ...]:
+    from rsmetacheck_spark.queries import REGISTRY
+
+    return tuple(REGISTRY)
 
 # pages per sf unit: sf0.1 -> 100k docs (avg doc ~1.7 KB text -> ~170 MB
 # text). Sized so fixed per-job costs (scheduling, Arrow ramp-up) are <10%
@@ -90,7 +81,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from rsmetacheck_spark.queries import REGISTRY
 
     out = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries():
         fn, _sql = REGISTRY[name]
         t0 = time.time()
         n = fn(spark, sf_dir).count()

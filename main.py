@@ -1,14 +1,26 @@
 """Production entry point (north_rule launch shape):
 
     spark-submit --py-files rsmetacheck_spark.zip main.py \
-        --input  <pages parquet/Iceberg path> \
-        --output <output dir/table prefix>    \
-        [--resume] [--snapshot <id>]
+        --input  <pages parquet path> [<more paths> ...]  \
+        --output <output dir/table prefix>                \
+        [--resume] [--snapshot <id>]                      \
+        [--threshold NAME=VALUE ...] [--rules R001,R014]  \
+        [--pitfalls-output DIR] [--analysis-output FILE]
 
-Reads the pages table, runs the quality-filter pipeline, writes
+Reads the pages table(s), runs the quality-filter pipeline, writes
 pages_out / metrics / lineage / host_metrics (+ per-doc JSON reports),
 prints the summary JSON. With --resume, processes only buckets missing
 from the output checkpoint (streaming/incremental.py).
+
+CLI surface mirrors the reference cli.py:8-38:
+  --input is multi-valued with per-item dispatch (cli.py:11-16's URL/file
+    dispatch becomes parquet path/dir union — the engine's input kinds);
+  --threshold is the rule-threshold override analog of the SoMEF
+    confidence threshold (cli.py:33-38) — repeatable NAME=VALUE pairs over
+    the thresholds registry (e.g. --threshold MIN_WORDS=30);
+  --rules enables a subset of the rule registry (run/skip detectors);
+  --pitfalls-output / --analysis-output name the per-doc report directory
+    and the summary JSON file exactly like cli.py:22-31.
 """
 
 from __future__ import annotations
@@ -20,14 +32,84 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+def _apply_threshold_overrides(pairs: list[str]) -> None:
+    """NAME=VALUE threshold overrides. Values are literal-eval'd so ints,
+    floats, strings and tuples all round-trip; unknown names fail fast
+    (a typo'd threshold silently running at the default is worse)."""
+    import ast
+
+    from rsmetacheck_spark import thresholds as TH
+
+    for kv in pairs:
+        name, _, raw = kv.partition("=")
+        if not _ or not hasattr(TH, name):
+            known = [n for n in dir(TH) if n.isupper()]
+            raise SystemExit(
+                f"--threshold {kv!r}: unknown threshold {name!r}; "
+                f"known: {', '.join(sorted(known))}"
+            )
+        try:
+            value = ast.literal_eval(raw)
+        except (SyntaxError, ValueError):
+            value = raw
+        setattr(TH, name, value)
+
+
+def _apply_rule_subset(spec: str) -> None:
+    """Restrict the rule registry to a comma-separated subset. Downstream
+    (verdicts/metrics/reports) iterates TH.RULES at plan-build time, so
+    narrowing the tuple is the single switch point."""
+    from rsmetacheck_spark import thresholds as TH
+
+    want = {r.strip() for r in spec.split(",") if r.strip()}
+    known = {rule for rule, _sev in TH.RULES}
+    bad = want - known
+    if bad:
+        raise SystemExit(
+            f"--rules: unknown rule(s) {sorted(bad)}; known: {sorted(known)}"
+        )
+    TH.RULES = tuple((r, s) for r, s in TH.RULES if r in want)
+    TH.RULE_SEVERITY = dict(TH.RULES)
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(
+        description="Quality-filter web pages and report per-rule findings."
+    )
+    ap.add_argument(
+        "--input", required=True, nargs="+",
+        help="One or more pages parquet paths/dirs (unioned by name).",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--snapshot", default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--threshold", action="append", default=[], metavar="NAME=VALUE",
+        help="Override a thresholds-registry constant (repeatable), e.g. "
+        "--threshold MIN_WORDS=30 --threshold MAX_LOG_PPL=6.5",
+    )
+    ap.add_argument(
+        "--rules", default=None, metavar="R001,R014,...",
+        help="Run only these rules (default: the full registry).",
+    )
+    ap.add_argument(
+        "--pitfalls-output", default=None, metavar="DIR",
+        help="Per-doc JSON report directory (default: <output>/reports).",
+    )
+    ap.add_argument(
+        "--analysis-output", default=None, metavar="FILE",
+        help="Summary JSON file (default: <output>/analysis_results.json; "
+        "also printed to stdout).",
+    )
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
+
+    if args.threshold:
+        _apply_threshold_overrides(args.threshold)
+    if args.rules is not None:
+        _apply_rule_subset(args.rules)
+
+    from functools import reduce
 
     from rsmetacheck_spark.operators.metrics import host_metrics_table
     from rsmetacheck_spark.operators.report import per_doc_reports, summary_report
@@ -37,8 +119,11 @@ def main() -> None:
     from rsmetacheck_spark.streaming.incremental import read_resumed, resume_materialize
 
     spark = get_spark("rsmetacheck_main", cores=args.cpus)
-    pages = read_pages(spark, args.input)
-    snapshot = args.snapshot or f"input:{args.input}"
+    pages = reduce(
+        lambda a, b: a.unionByName(b),
+        (read_pages(spark, path) for path in args.input),
+    )
+    snapshot = args.snapshot or f"input:{','.join(args.input)}"
 
     if args.resume:
         resume_materialize(spark, pages, args.output)
@@ -57,12 +142,19 @@ def main() -> None:
     write_table(host_metrics_table(pages_out), os.path.join(args.output, "host_metrics"))
     write_table(
         per_doc_reports(pages_out),
-        os.path.join(args.output, "reports"),
+        args.pitfalls_output or os.path.join(args.output, "reports"),
         partition_by=("bucket",),
     )
     total = pages_out.count()
     kept = pages_out.filter("keep").count()
-    print(summary_report(metrics, total, kept))
+    summary = summary_report(metrics, total, kept)
+    analysis_path = args.analysis_output or os.path.join(
+        args.output, "analysis_results.json"
+    )
+    os.makedirs(os.path.dirname(analysis_path) or ".", exist_ok=True)
+    with open(analysis_path, "w") as fh:
+        fh.write(summary if summary.endswith("\n") else summary + "\n")
+    print(summary)
 
 
 if __name__ == "__main__":

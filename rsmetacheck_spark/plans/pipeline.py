@@ -85,6 +85,40 @@ def decode_from_sink(df: DataFrame) -> DataFrame:
     )
 
 
+def _scan_partitions_estimate(spark: SparkSession, pages: DataFrame) -> int | None:
+    """Estimate the scan's partition count from PUBLIC APIs only.
+
+    File-backed input: replicate FilePartition packing from inputFiles() +
+    local file sizes (split size maxPartitionBytes, small files padded by
+    openCostInBytes). Non-file input (createDataFrame test paths): the
+    public `.rdd.getNumPartitions()` — driver-side plan conversion only,
+    acceptable off the 100 TB path. Returns None when sizes are
+    unstatable (object store): there the scan's own maxPartitionBytes
+    packing is already the right parallelism and no rebalance is wanted.
+    """
+    files = pages.inputFiles()
+    if not files:
+        return pages.rdd.getNumPartitions()
+
+    def _bytes(conf_key: str, default: int) -> int:
+        # conf accepts "134217728b", "64m", "128MB", ... — normalize
+        raw = str(spark.conf.get(conf_key, str(default))).strip().lower()
+        units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        num = raw.rstrip("kmgtb")
+        suffix = raw[len(num):].rstrip("b") or "b"
+        return int(float(num or default) * units.get(suffix, 1))
+
+    try:
+        mpb = _bytes("spark.sql.files.maxPartitionBytes", 134217728)
+        open_cost = _bytes("spark.sql.files.openCostInBytes", 4194304)
+        total = sum(
+            os.path.getsize(f.removeprefix("file:")) + open_cost for f in files
+        )
+    except (OSError, ValueError):
+        return None
+    return max(1, -(-total // mpb))
+
+
 def run_pipeline(pages: DataFrame, input_snapshot: str = "synthetic") -> PipelineResult:
     """Lazy result (no writes) — aggregates recompute the plan; prefer
     `materialize` for anything bigger than a unit test."""
@@ -112,14 +146,8 @@ def materialize(
     # task pays a fixed Python-worker round-trip cost (~0.1-0.4 s measured),
     # so 2x+ over-partitioning *lowers* throughput at bench scale.
     target = spark.sparkContext.defaultParallelism
-    # Probe partition count via the JVM query execution, not `.rdd`:
-    # touching `.rdd` wraps the plan in a Python-serializer RDD conversion
-    # just to read a count the physical plan already knows.
-    try:
-        n_parts = pages._jdf.queryExecution().toRdd().getNumPartitions()
-    except Exception:  # private-API guard: fall back to the public path
-        n_parts = pages.rdd.getNumPartitions()
-    if n_parts != target:
+    n_parts = _scan_partitions_estimate(spark, pages)
+    if n_parts is not None and n_parts != target:
         pages = pages.repartition(target)
     plan = verdict_plan(pages)
     # Cluster by bucket before the partitioned write: otherwise every write

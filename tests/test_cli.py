@@ -1,0 +1,100 @@
+"""End-to-end CLI surface (reference cli.py:8-38 parity analog):
+multi-valued --input, --threshold overrides, --rules subset,
+--pitfalls-output, --analysis-output. Drives main.main() in-process
+against synthetic pages parquet."""
+
+import json
+import os
+import tempfile
+
+import pytest
+
+import main as cli_main
+from rsmetacheck_spark import synth
+from rsmetacheck_spark import thresholds as TH
+
+
+@pytest.fixture()
+def th_restore():
+    saved = {
+        n: getattr(TH, n)
+        for n in dir(TH)
+        if n.isupper() and not n.startswith("_")
+    }
+    yield
+    for n, v in saved.items():
+        setattr(TH, n, v)
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark):
+    return synth.spark_pages_parquet(spark, 300, seed=11)
+
+
+def _run(pages_parquet, *extra):
+    out = tempfile.mkdtemp(prefix="cli_out_")
+    cli_main.main([
+        "--input", pages_parquet, "--output", out, "--cpus", "8", *extra,
+    ])
+    return out
+
+
+def test_cli_default_run(spark, pages_parquet, th_restore):
+    out = _run(pages_parquet)
+    summary = json.load(open(os.path.join(out, "analysis_results.json")))
+    assert summary["total_docs"] == 300
+    assert 0 < summary["kept"] < 300
+    assert len(summary["rules"]) == 15
+    assert os.path.isdir(os.path.join(out, "reports"))
+    assert os.path.isdir(os.path.join(out, "metrics"))
+
+
+def test_cli_multi_input_union(spark, pages_parquet, th_restore):
+    out = _run(pages_parquet, "--input", pages_parquet, pages_parquet)
+    summary = json.load(open(os.path.join(out, "analysis_results.json")))
+    assert summary["total_docs"] == 600  # two inputs unioned
+
+
+def test_cli_rules_subset(spark, pages_parquet, th_restore):
+    out = _run(pages_parquet, "--rules", "R001_doc_length,R014_host_blocklist")
+    summary = json.load(open(os.path.join(out, "analysis_results.json")))
+    assert sorted(r["rule"] for r in summary["rules"]) == [
+        "R001_doc_length", "R014_host_blocklist",
+    ]
+    # fewer drop rules => keep rate can only rise vs the full registry
+    assert summary["kept"] >= 0
+
+
+def test_cli_threshold_override_changes_keeps(spark, pages_parquet, th_restore):
+    base = json.load(open(os.path.join(
+        _run(pages_parquet), "analysis_results.json")))
+    # drastically relax R001's lower bound -> strictly more docs survive it
+    loose = json.load(open(os.path.join(
+        _run(pages_parquet, "--threshold", "MIN_WORDS=1"),
+        "analysis_results.json")))
+    r001 = {r["rule"]: r["hits"] for r in base["rules"]}["R001_doc_length"]
+    r001_loose = {r["rule"]: r["hits"] for r in loose["rules"]}["R001_doc_length"]
+    assert r001_loose < r001
+    assert loose["kept"] > base["kept"]
+
+
+def test_cli_threshold_unknown_name_fails_fast(spark, pages_parquet, th_restore):
+    with pytest.raises(SystemExit):
+        _run(pages_parquet, "--threshold", "NOT_A_THRESHOLD=1")
+
+
+def test_cli_rules_unknown_rule_fails_fast(spark, pages_parquet, th_restore):
+    with pytest.raises(SystemExit):
+        _run(pages_parquet, "--rules", "R999_nope")
+
+
+def test_cli_output_path_flags(spark, pages_parquet, th_restore):
+    pit = tempfile.mkdtemp(prefix="cli_pit_")
+    ana = os.path.join(tempfile.mkdtemp(prefix="cli_ana_"), "s.json")
+    out = _run(
+        pages_parquet, "--pitfalls-output", pit, "--analysis-output", ana,
+    )
+    assert json.load(open(ana))["total_docs"] == 300
+    # reports went to the override dir, not <output>/reports
+    assert any(os.scandir(pit))
+    assert not os.path.exists(os.path.join(out, "reports"))
