@@ -2083,6 +2083,156 @@ FROM documents WHERE doc_id < 50
 
 
 # ---------------------------------------------------------------------------
+# Round-4 training-pipeline additions: pack assignment, split assignment,
+# IVF multi-probe
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = _SEQ_BUCKETS[-1]  # tokens per packed sequence (corpus-sized)
+
+
+def q32_pack_assignments(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style concat-and-chunk pack ASSIGNMENT (completes q29's sizing
+    histogram): per source, documents in doc_id order form one token
+    stream split into cap-token sequences; each doc is assigned the
+    sequence range its tokens land in (docs may span sequences — the
+    standard pretraining packing with document splitting). Closed-form:
+    the doc's global start offset is an exclusive running sum, so the
+    whole op is ONE window over (source, doc_id) — no sequential loop.
+    At 100 TB the stream is sharded (source, shard) with per-shard token
+    bases broadcast, keeping the window per-shard-bounded."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        d.selectExpr("doc_id", "source", f"size({toks}) AS n_tokens")
+        .withColumn("start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .filter(F.col("n_tokens") > 0)
+        .selectExpr(
+            "doc_id", "source", "n_tokens",
+            f"start_off div {_PACK_CAP} AS first_seq",
+            f"(start_off + n_tokens - 1) div {_PACK_CAP} AS last_seq",
+            f"(start_off + n_tokens - 1) div {_PACK_CAP}"
+            f" - start_off div {_PACK_CAP} + 1 AS n_seqs",
+        )
+    )
+
+
+def _sql_q32() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH n AS (SELECT doc_id, source, CAST(len({t}) AS BIGINT) AS n_tokens FROM documents),
+o AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM n)
+SELECT doc_id, source, n_tokens,
+       start_off // {_PACK_CAP} AS first_seq,
+       (start_off + n_tokens - 1) // {_PACK_CAP} AS last_seq,
+       (start_off + n_tokens - 1) // {_PACK_CAP}
+         - start_off // {_PACK_CAP} + 1 AS n_seqs
+FROM o WHERE n_tokens > 0
+"""
+
+
+# train/val/test permille cut points (900/50/50)
+_SPLIT_TRAIN, _SPLIT_VAL = 900, 950
+
+
+def q33_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified train/val/test split summary: each doc's
+    split is md5(doc_id) mod 1000 against fixed permille cut points —
+    like q30's sampler, reproducible across engines, partitionings and
+    retries (TABLESAMPLE/rand() are none of those). Output is the
+    per-(source, split) doc/token tally a mixture config consumes; the
+    split decision itself is a pure per-row projection (zero shuffle
+    before the bounded summary groupBy)."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    h = "CAST(conv(substr(md5(CAST(doc_id AS string)), 1, 8), 16, 10) AS bigint)"
+    split = (
+        f"CASE WHEN {h} % 1000 < {_SPLIT_TRAIN} THEN 'train'"
+        f" WHEN {h} % 1000 < {_SPLIT_VAL} THEN 'val' ELSE 'test' END"
+    )
+    return (
+        d.selectExpr("source", f"{split} AS split", f"size({toks}) AS n")
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+
+
+def _sql_q33() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    hex2int = (
+        "CAST(list_sum(list_transform(generate_series(1, 8), j ->"
+        " CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), CAST(j AS INTEGER), 1)) - 1 AS BIGINT)"
+        " << ((8 - CAST(j AS INTEGER)) * 4))) AS BIGINT)"
+    )
+    return f"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN {hex2int} % 1000 < {_SPLIT_TRAIN} THEN 'train'
+              WHEN {hex2int} % 1000 < {_SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(len({t}) AS BIGINT) AS n
+  FROM documents)
+SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM s GROUP BY source, split
+"""
+
+
+def sim05_ivf_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF search with nprobe=2 (sim03 is nprobe=1): scan the TWO nearest
+    cells and take the global top-10 — the standard recall knob when the
+    true neighbor sits just across a Voronoi boundary. The probe is still
+    a partition-pruned scan of 2/n_cells of the corpus; nothing outside
+    the probed cells is touched."""
+    e = _ivf_embed(spark, sf)
+    cent_vec = _ivf_centroid_df(e)
+    q = e.filter(F.col("vec_id") == 0).selectExpr("v AS qv")
+    dist_c = (
+        "sqrt(aggregate(zip_with(centroid, qv, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS double), (acc, x) -> acc + x))"
+    )
+    best2 = (
+        cent_vec.crossJoin(F.broadcast(q))
+        .selectExpr("label", "qv", f"{dist_c} AS dc")
+        .orderBy(F.col("dc").asc(), F.col("label").asc())
+        .limit(2)
+    )
+    dist_v = (
+        "sqrt(aggregate(zip_with(v, qv, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS double), (acc, x) -> acc + x))"
+    )
+    return (
+        e.join(F.broadcast(best2.select("label", "qv")), "label")
+        .filter(F.col("vec_id") != 0)
+        .selectExpr("vec_id", "label", f"round({dist_v}, 6) AS dist")
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+SQL_SIM05 = f"""
+WITH {_SQL_IVF_CENT_CTES},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+best2 AS (
+  SELECT label, qv,
+         sqrt(list_sum(list_transform(generate_series(1, 64),
+              i -> (centroid[i] - qv[i]) * (centroid[i] - qv[i])))) AS dc
+  FROM cv, q ORDER BY dc ASC, label ASC LIMIT 2)
+SELECT vec_id, e.label,
+       ROUND(sqrt(list_sum(list_transform(generate_series(1, 64),
+             i -> (v[i] - qv[i]) * (v[i] - qv[i])))), 6) AS dist
+FROM e JOIN best2 ON e.label = best2.label
+WHERE vec_id <> 0
+ORDER BY dist ASC, vec_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2132,6 +2282,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q29_packing_histogram": (q29_packing_histogram, _sql_q29()),
     "q30_weighted_sample": (q30_weighted_sample, _sql_q30()),
     "q31_chunk_windows": (q31_chunk_windows, _sql_q31()),
+    "q32_pack_assignments": (q32_pack_assignments, _sql_q32()),
+    "q33_split_assign": (q33_split_assign, _sql_q33()),
+    "sim05_ivf_multiprobe": (sim05_ivf_multiprobe, SQL_SIM05),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -2154,9 +2307,10 @@ REGISTRY.update(_st_registry())
 
 # The driver CORRECTNESS gate samples the first N registry entries in
 # insertion order (round 3 took 50 of 56, so the tail 6 never got a
-# driver row). Rotate the never-driver-confirmed entries to the front
-# and the longest-confirmed ones (green in rounds 1, 2 AND 3) to the
-# back so every entry accumulates a driver-green row across rounds.
+# driver row). Rotate the never-driver-confirmed entries (round-3 tail +
+# the round-4 additions) to the front and the longest-confirmed ones
+# (green in rounds 1, 2 AND 3) to the back so every entry accumulates a
+# driver-green row across rounds.
 _FRONT = [
     "ev08_version_presence_rules",
     "ev09_rule_summary",
@@ -2164,6 +2318,10 @@ _FRONT = [
     "st01_stream_dedup",
     "st02_stream_sessionize",
     "st03_stream_hourly",
+    "st04_stream_enrich",
+    "q32_pack_assignments",
+    "q33_split_assign",
+    "sim05_ivf_multiprobe",
 ]
 _BACK = [
     "q01_pricing_summary",
@@ -2172,6 +2330,10 @@ _BACK = [
     "q04_latest_event_per_user",
     "q05_sessionize",
     "q06_events_hourly",
+    "q10_token_stats_by_source",
+    "q11_top_ngrams",
+    "q12_fingerprints",
+    "dd01_exact_groups",
 ]
 REGISTRY = {
     **{k: REGISTRY[k] for k in _FRONT},

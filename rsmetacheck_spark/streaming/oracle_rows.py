@@ -148,9 +148,46 @@ FROM events GROUP BY 1, 2
 """
 
 
+def st04_stream_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static broadcast enrichment — the canonical production
+    shape: a streaming fact (events) joined to a static dimension
+    (customer, broadcast — never shuffled, re-read per micro-batch) with
+    a running aggregation, run to completion in COMPLETE mode == the
+    batch join+groupBy. At scale the static side is a slowly-changing
+    dim table; Spark re-plans the join each batch so dim updates between
+    batches are picked up for free."""
+    events_path = os.path.join(sf, "events.parquet")
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(_as_stream_dir(events_path))
+    dim = F.broadcast(
+        spark.read.parquet(os.path.join(sf, "customer.parquet"))
+        .selectExpr("c_custkey AS user_id", "c_mktsegment")
+    )
+    agg = (
+        stream.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double").alias("sum_value"),
+        )
+    )
+    sink = _run_to_memory(agg, "complete")
+    return spark.table(sink)
+
+
+SQL_ST04 = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def registry() -> dict:
     return {
         "st01_stream_dedup": (st01_stream_dedup, SQL_ST01),
         "st02_stream_sessionize": (st02_stream_sessionize, SQL_ST02),
         "st03_stream_hourly": (st03_stream_hourly, SQL_ST03),
+        "st04_stream_enrich": (st04_stream_enrich, SQL_ST04),
     }
