@@ -42,6 +42,11 @@ LIC_NAMES = [
     "https://spdx.org/licenses/GPL-3.0", "License file: LICENSE",
     "./LICENSE.md", "../COPYING", "docs/license.txt", "licence",
     "readme.md", "{{ License }}",
+    # COMPOUND license strings: a versioned family next to a DIFFERENT
+    # unversioned one — these caught the round-4 P013 \b-anchor fix
+    # ('LGPL-2.1 GPL': the version pattern must not match inside LGPL-2.1)
+    "LGPL-2.1 GPL", "GPL or LGPL-3.0", "Apache-2.0 AND GPL",
+    "BSD-3-Clause OR AGPL", "CC-BY-4.0, CC",
 ]
 PLACEHOLDERS = [
     "<program>", "<year>", "<name of author>", "<name>",
