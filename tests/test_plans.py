@@ -78,3 +78,30 @@ def test_q23_partial_aggregation(spark):
     # HashAggregate appears both below (partial) and above (final) the
     # exchange; a plan without partial aggregation would ship raw terms
     assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
+
+
+def test_q32_single_window_exchange(spark):
+    """Pack assignment must be ONE hash exchange (the per-source window);
+    a second exchange would mean the running sum re-shuffles the corpus."""
+    fn, _ = REGISTRY["q32_pack_assignments"]
+    plan = _plan(fn(spark, SF))
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert "Window" in plan
+
+
+def test_q33_partial_agg_single_exchange(spark):
+    """Split assignment is a pure per-row projection + one map-side
+    combined groupBy — the split decision itself must not shuffle."""
+    fn, _ = REGISTRY["q33_split_assign"]
+    plan = _plan(fn(spark, SF))
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_sim05_broadcasts_probed_cells(spark):
+    """IVF multi-probe must broadcast the 2-row probe set; the corpus
+    side joins by cell label without moving."""
+    fn, _ = REGISTRY["sim05_ivf_multiprobe"]
+    plan = _plan(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
