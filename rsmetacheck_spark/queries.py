@@ -2090,24 +2090,53 @@ FROM documents WHERE doc_id < 50
 _PACK_CAP = _SEQ_BUCKETS[-1]  # tokens per packed sequence (corpus-sized)
 
 
+_PACK_SHARD = 256  # contiguous doc_id block per shard (scale: ~10^6)
+
+
 def q32_pack_assignments(spark: SparkSession, sf: str) -> DataFrame:
     """GPT-style concat-and-chunk pack ASSIGNMENT (completes q29's sizing
     histogram): per source, documents in doc_id order form one token
     stream split into cap-token sequences; each doc is assigned the
     sequence range its tokens land in (docs may span sequences — the
-    standard pretraining packing with document splitting). Closed-form:
-    the doc's global start offset is an exclusive running sum, so the
-    whole op is ONE window over (source, doc_id) — no sequential loop.
-    At 100 TB the stream is sharded (source, shard) with per-shard token
-    bases broadcast, keeping the window per-shard-bounded."""
+    standard pretraining packing with document splitting).
+
+    Scale shape: a naive per-source window sorts ONE source's whole
+    stream in one task (5 TB/task at 100 TB with tens of sources), so
+    the running sum is two-level: (1) within-shard exclusive cumsum over
+    CONTIGUOUS doc_id blocks — shard order == global doc_id order, so
+    results are identical to the single-stream formulation — and (2) a
+    per-(source, shard) totals table (rows = docs/shard-size, tiny)
+    whose own exclusive cumsum gives each shard's stream base, joined
+    back broadcast. The DuckDB oracle keeps the naive single-window SQL,
+    making this a genuine two-formulation equivalence check."""
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
-    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+    n = d.selectExpr(
+        "doc_id", "source", f"doc_id div {_PACK_SHARD} AS shard",
+        f"size({toks}) AS n_tokens",
+    )
+    w_in = Window.partitionBy("source", "shard").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    within = n.withColumn(
+        "in_off", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    w_sh = Window.partitionBy("source").orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = (
+        n.groupBy("source", "shard").agg(F.sum("n_tokens").alias("sh_tokens"))
+        .withColumn(
+            "sh_base", F.coalesce(F.sum("sh_tokens").over(w_sh), F.lit(0))
+        )
+        .select("source", "shard", "sh_base")
+    )
     return (
-        d.selectExpr("doc_id", "source", f"size({toks}) AS n_tokens")
-        .withColumn("start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        within.join(F.broadcast(bases), ["source", "shard"])
+        .selectExpr(
+            "doc_id", "source", "n_tokens",
+            "sh_base + in_off AS start_off",
+        )
         .filter(F.col("n_tokens") > 0)
         .selectExpr(
             "doc_id", "source", "n_tokens",

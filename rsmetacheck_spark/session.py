@@ -38,6 +38,14 @@ def get_spark(
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Iso-load profiling (tools/profile_isoload.py, BENCH/BASELINE.md):
+        # at the 10k default the per-batch Python round-trip is the
+        # dominant non-scaling cost when every core is busy (the cluster
+        # regime) — 4->16-core iso-load efficiency 0.55 full / 0.76
+        # scan+model; at 50k it's 0.78 / 0.88. Unloaded runs are
+        # insensitive (<5%). ~2 KB rows -> ~100 MB Arrow buffers per
+        # task at 50k; drop this if executor memory is under ~2 GB/core.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -80,13 +80,22 @@ def test_q23_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
 
 
-def test_q32_single_window_exchange(spark):
-    """Pack assignment must be ONE hash exchange (the per-source window);
-    a second exchange would mean the running sum re-shuffles the corpus."""
+def test_q32_sharded_window(spark):
+    """Pack assignment's doc-level window must be keyed by
+    (source, shard): a per-source-only window sorts one source's entire
+    stream in a single task at corpus scale. The shard-base table (rows =
+    docs/shard_size) must join back broadcast, not shuffled."""
     fn, _ = REGISTRY["q32_pack_assignments"]
     plan = _plan(fn(spark, SF))
-    assert plan.count("Exchange") == 1, plan[:3000]
-    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("shard" in ln for ln in win_lines), plan[:3000]
+    # doc-level rows shuffle once, into the (source, shard) window
+    doc_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "shard" in ln
+    ]
+    assert doc_exchanges, plan[:3000]
 
 
 def test_q33_partial_agg_single_exchange(spark):
