@@ -2170,6 +2170,79 @@ FROM o WHERE n_tokens > 0
 _SPLIT_TRAIN, _SPLIT_VAL = 900, 950
 
 
+def dd08_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental snapshot dedup — the production shape batch dedup ops
+    miss: dedup an INCOMING batch (odd doc_id here; a new crawl snapshot
+    in production) against the EXISTING corpus only. Per
+    incoming doc: 'exact' (content md5 already in the corpus), else
+    'near' (shares an LSH band bucket with an existing doc and verifies
+    at Jaccard >= t), else 'new'; match_id = the matched existing doc.
+    Intra-batch duplicates are deliberately out of scope (that's dd01/
+    dd02's job on the batch itself).
+
+    Reuses dd02's checkpointed shingle/signature/band machinery — at
+    100 TB the existing side's band table is exactly that persisted
+    scratch index, maintained snapshot-over-snapshot, so an incremental
+    run prices at O(incoming), not O(corpus). The DuckDB oracle rebuilds
+    the same chain from the shared dd02 CTEs."""
+    d = _t(spark, sf, "documents")
+    docs = d.selectExpr(
+        "doc_id", "md5(lower(trim(text))) AS text_md5",
+        "doc_id % 2 = 1 AS is_new",
+    )
+    incoming = docs.filter("is_new")
+    existing = docs.filter("NOT is_new")
+    exact = (
+        incoming.alias("i").join(existing.alias("e"), "text_md5")
+        .groupBy(F.col("i.doc_id").alias("doc_id"))
+        .agg(F.min("e.doc_id").alias("exact_id"))
+    )
+    pairs = dd02_minhash_lsh_pairs(spark, sf).select("id_a", "id_b")
+    near = (
+        pairs.filter("(id_a % 2 = 1) <> (id_b % 2 = 1)")
+        .selectExpr(
+            "CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS doc_id",
+            "CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS ex_id",
+        )
+        .groupBy("doc_id").agg(F.min("ex_id").alias("near_id"))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN exact_id IS NOT NULL THEN 'exact'"
+            " WHEN near_id IS NOT NULL THEN 'near' ELSE 'new' END AS verdict",
+            "coalesce(exact_id, near_id) AS match_id",
+        )
+    )
+
+
+def _sql_dd08() -> str:
+    return f"""
+WITH {_sql_dd02_ctes()},
+docs AS (
+  SELECT doc_id, md5(lower(trim(text))) AS text_md5, doc_id % 2 = 1 AS is_new
+  FROM documents),
+exact AS (
+  SELECT i.doc_id, MIN(e.doc_id) AS exact_id
+  FROM docs i JOIN docs e ON i.text_md5 = e.text_md5
+  WHERE i.is_new AND NOT e.is_new GROUP BY i.doc_id),
+near AS (
+  SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS doc_id,
+         MIN(CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END) AS near_id
+  FROM pairs WHERE (id_a % 2 = 1) <> (id_b % 2 = 1)
+  GROUP BY 1)
+SELECT d.doc_id,
+       CASE WHEN exact_id IS NOT NULL THEN 'exact'
+            WHEN near_id IS NOT NULL THEN 'near' ELSE 'new' END AS verdict,
+       COALESCE(exact_id, near_id) AS match_id
+FROM docs d LEFT JOIN exact USING (doc_id) LEFT JOIN near USING (doc_id)
+WHERE d.is_new
+"""
+
+
 def q33_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic stratified train/val/test split summary: each doc's
     split is md5(doc_id) mod 1000 against fixed permille cut points —
@@ -2312,6 +2385,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q30_weighted_sample": (q30_weighted_sample, _sql_q30()),
     "q31_chunk_windows": (q31_chunk_windows, _sql_q31()),
     "q32_pack_assignments": (q32_pack_assignments, _sql_q32()),
+    "dd08_incremental_dedup": (dd08_incremental_dedup, _sql_dd08()),
     "q33_split_assign": (q33_split_assign, _sql_q33()),
     "sim05_ivf_multiprobe": (sim05_ivf_multiprobe, SQL_SIM05),
 }
@@ -2351,6 +2425,7 @@ _FRONT = [
     "q32_pack_assignments",
     "q33_split_assign",
     "sim05_ivf_multiprobe",
+    "dd08_incremental_dedup",
 ]
 _BACK = [
     "q01_pricing_summary",
