@@ -33,13 +33,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Times EVERY registry entry (56 as of round 4) so a regression anywhere
+# Times EVERY registry entry (61 as of round 4) so a regression anywhere
 # in the query surface — evidence rules, streaming rows, multimodal —
 # shows up in the per-round BENCH_r{N}.json, not just the curated subset.
+# SORTED order, not registry order: the registry front/back rotation
+# changes per round (driver-gate sampling), and timing order changes
+# which query pays for shared scratch checkpoints (dd02's signature
+# table is reused by dd06/dd07/dd08). Alphabetical puts dd02 first in
+# its family every round, keeping per-query attribution comparable.
 def bench_queries() -> tuple[str, ...]:
     from rsmetacheck_spark.queries import REGISTRY
 
-    return tuple(REGISTRY)
+    return tuple(sorted(REGISTRY))
 
 # pages per sf unit: sf0.1 -> 100k docs (avg doc ~1.7 KB text -> ~170 MB
 # text). Sized so fixed per-job costs (scheduling, Arrow ramp-up) are <10%
