@@ -160,3 +160,62 @@ def synth_media_from_docs(docs: DataFrame, seed: int = MEDIA_SEED) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: the 1-row -> N-rows mapInPandas fan-out shape (mm01's
+# feature stage is 1:1). Frames are fixed-length byte windows at
+# integer-spaced offsets — a deterministic stand-in for video frame
+# extraction; a real deployment swaps the window slice for a decoder call
+# with the same emit-per-frame contract.
+# ---------------------------------------------------------------------------
+
+FRAME_LEN = 64
+N_FRAMES = 4
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, start int, n int, sum_bytes long, "
+    "frame_md5 string, frame_error string"
+)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = N_FRAMES, frame_len: int = FRAME_LEN
+) -> DataFrame:
+    """media rows -> up to n_frames fixed-length windows per payload.
+
+    Offsets are integer-arithmetic (i * ((size - frame_len) // (n-1))) so
+    an ANSI-SQL oracle reproduces them exactly; payloads at or under one
+    frame yield a single whole-payload frame. Per-row error isolation:
+    a bad payload emits one frame_idx=-1 row with frame_error set."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "frame_idx", "start", "n", "sum_bytes",
+            "frame_md5", "frame_error",
+        ]
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    b = bytes(r["payload"])
+                    size = len(b)
+                    if size <= frame_len:
+                        starts = [0]
+                    else:
+                        step = (size - frame_len) // (n_frames - 1)
+                        starts = [i * step for i in range(n_frames)]
+                    for idx, st in enumerate(starts):
+                        w = b[st:st + frame_len]
+                        rows.append((
+                            int(r["media_id"]), idx, st, len(w), sum(w),
+                            hashlib.md5(w.hex().encode()).hexdigest(), None,
+                        ))
+                except Exception as e:  # noqa: BLE001 — reference-style isolation
+                    rows.append((
+                        int(r["media_id"]), -1, 0, 0, 0, None,
+                        f"{type(e).__name__}: {e}",
+                    ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

@@ -1476,6 +1476,69 @@ FROM p
 
 
 
+def mm02_frame_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame SAMPLING plumbing (the 1-row -> N-rows mapInPandas fan-out
+    mm01 doesn't exercise): video-kind media yield up to 4 fixed-length
+    byte-window "frames" at integer-spaced offsets, each with exact
+    window features. The DuckDB oracle rebuilds the payload hex chain and
+    recomputes every frame's offset, byte sum, and md5 — the fan-out
+    arithmetic and window content are correctness-gated, not counted."""
+    from .operators.multimodal import sample_frames, synth_media_from_docs
+
+    docs = _t(spark, sf, "documents")
+    media = synth_media_from_docs(docs).filter("kind = 'video'")
+    return sample_frames(media).select(
+        "media_id", "frame_idx", "start", "n", "sum_bytes", "frame_md5"
+    )
+
+
+def _sql_mm02() -> str:
+    from .operators.multimodal import FRAME_LEN, MEDIA_SEED, N_FRAMES
+
+    hex2int = (
+        "CAST(list_sum(list_transform(generate_series(1, 8), j ->"
+        " CAST(strpos('0123456789abcdef', substring({h}, CAST(j AS INTEGER), 1)) - 1 AS BIGINT)"
+        " << ((8 - CAST(j AS INTEGER)) * 4))) AS BIGINT)"
+    )
+    sz_md5 = f"md5('{MEDIA_SEED}:' || CAST(doc_id AS VARCHAR) || ':sz')"
+    nib = "strpos('0123456789abcdef', substring(wh, 2 * CAST(j AS INTEGER) - {o}, 1)) - 1"
+    fl = FRAME_LEN
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         64 + ({hex2int.format(h=f'substring({sz_md5}, 1, 8)')} % 1985) AS size
+  FROM documents WHERE doc_id % 3 = 2),
+p AS (
+  SELECT media_id, size,
+         substring(array_to_string(list_transform(
+             generate_series(0, CAST((size + 15) // 16 AS INTEGER) - 1),
+             b -> md5('{MEDIA_SEED}:' || CAST(media_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))), ''),
+           1, CAST(2 * size AS INTEGER)) AS phex
+  FROM m),
+fr AS (
+  SELECT media_id, size, phex,
+         CAST(unnest(generate_series(0,
+           CASE WHEN size <= {fl} THEN 0 ELSE {N_FRAMES - 1} END)) AS INTEGER) AS frame_idx
+  FROM p),
+o AS (
+  SELECT media_id, frame_idx,
+         CAST(CASE WHEN size <= {fl} THEN 0
+              ELSE frame_idx * ((size - {fl}) // {N_FRAMES - 1}) END AS INTEGER) AS start,
+         CAST(CASE WHEN size <= {fl} THEN size ELSE {fl} END AS INTEGER) AS n,
+         phex
+  FROM fr),
+w AS (
+  SELECT media_id, frame_idx, start, n,
+         substring(phex, CAST(2 * start + 1 AS INTEGER), CAST(2 * n AS INTEGER)) AS wh
+  FROM o)
+SELECT media_id, frame_idx, start, n,
+       CAST(list_sum(list_transform(generate_series(1, n),
+            j -> ({nib.format(o=1)}) * 16 + ({nib.format(o=0)}))) AS BIGINT) AS sum_bytes,
+       md5(wh) AS frame_md5
+FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # Batch 2: semi-structured JSON (S3 scan shape), rollup grouping sets,
 # pivot (A3 shape), set operations (U-ops), as-of join (custom operator:
@@ -2365,6 +2428,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sim03_ivf_search": (sim03_ivf_search, SQL_SIM03),
     "sim04_batch_knn": (sim04_batch_knn, _sql_sim04()),
     "mm01_media_features": (mm01_media_features, _sql_mm01()),
+    "mm02_frame_samples": (mm02_frame_samples, _sql_mm02()),
     "q13_props_json": (q13_props_json, SQL_Q13),
     "q14_rollup_docs": (q14_rollup_docs, SQL_Q14),
     "q15_pivot_events": (q15_pivot_events, SQL_Q15),
@@ -2426,6 +2490,7 @@ _FRONT = [
     "q33_split_assign",
     "sim05_ivf_multiprobe",
     "dd08_incremental_dedup",
+    "mm02_frame_samples",
 ]
 _BACK = [
     "q01_pricing_summary",

@@ -76,3 +76,47 @@ def test_media_from_docs_features(spark):
     phex, size = payload_hex_chain(0)
     b = bytes.fromhex(phex)
     assert feats[0].n_bytes == size and feats[0].sum_bytes == sum(b)
+
+
+def test_sample_frames_fanout_and_content(spark):
+    from rsmetacheck_spark.operators.multimodal import (
+        FRAME_LEN, N_FRAMES, payload_hex_chain, sample_frames,
+        synth_media_from_docs,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = synth_media_from_docs(docs).filter("kind = 'video'")
+    frames = sample_frames(media).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    # every video payload in testdata exceeds one frame -> exactly N each
+    assert all(len(v) == N_FRAMES for v in by_id.values())
+    mid = min(by_id)
+    rows = sorted(by_id[mid], key=lambda r: r.frame_idx)
+    phex, size = payload_hex_chain(mid)
+    b = bytes.fromhex(phex)
+    step = (size - FRAME_LEN) // (N_FRAMES - 1)
+    assert [r.start for r in rows] == [i * step for i in range(N_FRAMES)]
+    for r in rows:
+        w = b[r.start:r.start + FRAME_LEN]
+        assert r.sum_bytes == sum(w) and r.n == len(w)
+
+
+def test_sample_frames_error_isolation(spark):
+    import pandas as pd
+    from rsmetacheck_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": [1, 2],
+            "kind": ["video", "video"],
+            "payload": [b"ok-bytes" * 20, None],  # row 2: bad payload
+            "width": [8, 8], "height": [8, 8],
+        }),
+        MEDIA_SCHEMA,
+    )
+    rows = sample_frames(df).collect()
+    good = [r for r in rows if r.media_id == 1]
+    bad = [r for r in rows if r.media_id == 2]
+    assert good and all(r.frame_error is None for r in good)
+    assert len(bad) == 1 and bad[0].frame_idx == -1 and bad[0].frame_error
