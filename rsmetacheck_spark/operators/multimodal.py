@@ -219,3 +219,50 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize: stride decimation of the payload plus scaled dimensions — the
+# deterministic stand-in for image downscaling (a real deployment swaps
+# the byte stride for PIL.Image.resize with the same 1:1 contract).
+# ---------------------------------------------------------------------------
+
+RESIZE_STRIDE = 4
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, out_w int, out_h int, out_bytes int, "
+    "resized_md5 string, resize_error string"
+)
+
+
+def resize_media(df: DataFrame, stride: int = RESIZE_STRIDE) -> DataFrame:
+    """media rows -> decimated payload features: every stride-th byte
+    (positions 0, stride, 2*stride, ...), dims divided by stride (floor,
+    min 1). The checksum is over the decimated bytes' hex text so an
+    ANSI-SQL oracle can rebuild it character-exactly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "kind", "out_w", "out_h", "out_bytes",
+            "resized_md5", "resize_error",
+        ]
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    b = bytes(r["payload"])[::stride]
+                    rows.append((
+                        int(r["media_id"]), r["kind"],
+                        max(int(r["width"]) // stride, 1),
+                        max(int(r["height"]) // stride, 1),
+                        len(b), hashlib.md5(b.hex().encode()).hexdigest(),
+                        None,
+                    ))
+                except Exception as e:  # noqa: BLE001 — reference-style isolation
+                    rows.append((
+                        int(r["media_id"]), r.get("kind"), 0, 0, 0, None,
+                        f"{type(e).__name__}: {e}",
+                    ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)

@@ -1539,6 +1539,62 @@ FROM w
 """
 
 
+def mm03_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize plumbing: stride-decimated payload (every 4th byte) plus
+    floor-scaled dimensions, checksummed over the decimated hex text so
+    the DuckDB oracle rebuilds the OUTPUT bytes character-exactly from
+    the payload hex chain — the downscale arithmetic and the decimated
+    content are both gated."""
+    from .operators.multimodal import resize_media, synth_media_from_docs
+
+    docs = _t(spark, sf, "documents")
+    return resize_media(synth_media_from_docs(docs)).select(
+        "media_id", "kind", "out_w", "out_h", "out_bytes", "resized_md5"
+    )
+
+
+def _sql_mm03() -> str:
+    from .operators.multimodal import MEDIA_SEED, RESIZE_STRIDE
+
+    hex2int = (
+        "CAST(list_sum(list_transform(generate_series(1, 8), j ->"
+        " CAST(strpos('0123456789abcdef', substring({h}, CAST(j AS INTEGER), 1)) - 1 AS BIGINT)"
+        " << ((8 - CAST(j AS INTEGER)) * 4))) AS BIGINT)"
+    )
+    sz_md5 = f"md5('{MEDIA_SEED}:' || CAST(doc_id AS VARCHAR) || ':sz')"
+    w_md5 = f"md5('{MEDIA_SEED}:' || CAST(doc_id AS VARCHAR) || ':w')"
+    h_md5 = f"md5('{MEDIA_SEED}:' || CAST(doc_id AS VARCHAR) || ':h')"
+    st = RESIZE_STRIDE
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) AS kind,
+         64 + ({hex2int.format(h=f'substring({sz_md5}, 1, 8)')} % 1985) AS size,
+         8 + ({hex2int.format(h=f'substring({w_md5}, 1, 8)')} % 504) AS w,
+         8 + ({hex2int.format(h=f'substring({h_md5}, 1, 8)')} % 504) AS h
+  FROM documents),
+p AS (
+  SELECT media_id, kind, size, w, h,
+         substring(array_to_string(list_transform(
+             generate_series(0, CAST((size + 15) // 16 AS INTEGER) - 1),
+             b -> md5('{MEDIA_SEED}:' || CAST(media_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))), ''),
+           1, CAST(2 * size AS INTEGER)) AS phex
+  FROM m),
+d AS (
+  SELECT media_id, kind, w, h, size,
+         array_to_string(list_transform(
+             generate_series(0, CAST((size - 1) // {st} AS INTEGER)),
+             j -> substring(phex, CAST(2 * j * {st} + 1 AS INTEGER), 2)), '') AS dh
+  FROM p)
+SELECT media_id, kind,
+       CAST(greatest(w // {st}, 1) AS INTEGER) AS out_w,
+       CAST(greatest(h // {st}, 1) AS INTEGER) AS out_h,
+       CAST((size + {st} - 1) // {st} AS INTEGER) AS out_bytes,
+       md5(dh) AS resized_md5
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # Batch 2: semi-structured JSON (S3 scan shape), rollup grouping sets,
 # pivot (A3 shape), set operations (U-ops), as-of join (custom operator:
@@ -2429,6 +2485,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sim04_batch_knn": (sim04_batch_knn, _sql_sim04()),
     "mm01_media_features": (mm01_media_features, _sql_mm01()),
     "mm02_frame_samples": (mm02_frame_samples, _sql_mm02()),
+    "mm03_resize": (mm03_resize, _sql_mm03()),
     "q13_props_json": (q13_props_json, SQL_Q13),
     "q14_rollup_docs": (q14_rollup_docs, SQL_Q14),
     "q15_pivot_events": (q15_pivot_events, SQL_Q15),
@@ -2491,6 +2548,7 @@ _FRONT = [
     "sim05_ivf_multiprobe",
     "dd08_incremental_dedup",
     "mm02_frame_samples",
+    "mm03_resize",
 ]
 _BACK = [
     "q01_pricing_summary",
