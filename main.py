@@ -4,6 +4,7 @@
         --input  <pages parquet path> [<more paths> ...]  \
         --output <output dir/table prefix>                \
         [--resume] [--snapshot <id>]                      \
+        [--skip-extract]                                  \
         [--threshold NAME=VALUE ...] [--rules R001,R014]  \
         [--pitfalls-output DIR] [--analysis-output FILE]
 
@@ -84,6 +85,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--snapshot", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument(
+        "--skip-extract", action="store_true",
+        help="Inputs carry already-extracted `text` instead of `html` "
+        "(the reference's --skip-somef analog): skip the extraction step, "
+        "run everything downstream unchanged.",
+    )
+    ap.add_argument(
         "--threshold", action="append", default=[], metavar="NAME=VALUE",
         help="Override a thresholds-registry constant (repeatable), e.g. "
         "--threshold MIN_WORDS=30 --threshold MAX_LOG_PPL=6.5",
@@ -136,7 +143,10 @@ def main(argv: list[str] | None = None) -> None:
         write_table(metrics, os.path.join(args.output, "metrics"))
         write_table(lineage_table(pages_out, snapshot), os.path.join(args.output, "lineage"))
     else:
-        res = materialize(spark, pages, args.output, input_snapshot=snapshot)
+        res = materialize(
+            spark, pages, args.output, input_snapshot=snapshot,
+            text_input=args.skip_extract,
+        )
         pages_out, metrics = res.pages_out, res.metrics
 
     write_table(host_metrics_table(pages_out), os.path.join(args.output, "host_metrics"))

@@ -39,7 +39,7 @@ MODEL_COLS = (
 _ZERO_STATS = {name: (0 if typ == "int" else 0.0) for name, typ in STATS_FIELDS}
 
 
-def _process_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _process_batch(pdf: pd.DataFrame, src_col: str = "html") -> pd.DataFrame:
     langid = get_langid()
     ppl = get_ppl()
     n = len(pdf)
@@ -56,9 +56,12 @@ def _process_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     }
     for name, _typ in STATS_FIELDS:
         out[name] = [_ZERO_STATS[name]] * n
-    for i, html in enumerate(pdf["html"].tolist()):
+    for i, raw in enumerate(pdf[src_col].tolist()):
         try:
-            text = extract_text(html) if html is not None else ""
+            if src_col == "html":
+                text = extract_text(raw) if raw is not None else ""
+            else:  # pre-extracted text input (--skip-extract analog)
+                text = raw if raw is not None else ""
             out["extracted_text"][i] = text
             toks = tokenize(text)  # once: shared by ppl + stats
             top2 = langid.predict_top2(text)
@@ -90,18 +93,21 @@ def _process_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
-def apply_model_stage(df: DataFrame) -> DataFrame:
-    """Append model + stats columns. The `html` payload is consumed inside
-    the stage and NOT re-emitted: keeping it would triple the text-sized
-    bytes crossing the Arrow boundary and the downstream shuffle (html +
-    extracted + scrubbed), and memory bandwidth is the measured limiter of
-    multi-core scaling for this stage."""
-    keep_cols = [f for f in df.schema.fields if f.name != "html"]
+def apply_model_stage(df: DataFrame, text_input: bool = False) -> DataFrame:
+    """Append model + stats columns. The payload column (`html`, or
+    `text` when `text_input` — the reference's --skip-somef analog:
+    extraction already happened upstream, everything else still runs) is
+    consumed inside the stage and NOT re-emitted: keeping it would triple
+    the text-sized bytes crossing the Arrow boundary and the downstream
+    shuffle (payload + extracted + scrubbed), and memory bandwidth is the
+    measured limiter of multi-core scaling for this stage."""
+    src_col = "text" if text_input else "html"
+    keep_cols = [f for f in df.schema.fields if f.name != src_col]
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep_cols)
     out_schema = schema + ", " + MODEL_COLS
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _process_batch(pdf).drop(columns=["html"])
+            yield _process_batch(pdf, src_col).drop(columns=[src_col])
 
     return df.mapInPandas(run, schema=out_schema)

@@ -52,12 +52,17 @@ class PipelineResult:
     snapshot: str | None = None
 
 
-def verdict_plan(pages: DataFrame) -> DataFrame:
-    """The lazy end-to-end plan: input pages -> verdict rows (no action)."""
-    # Early projection: ground-truth text/lang (or anything else) must not
+def verdict_plan(pages: DataFrame, text_input: bool = False) -> DataFrame:
+    """The lazy end-to-end plan: input pages -> verdict rows (no action).
+
+    text_input=True is the reference's --skip-somef analog: the input
+    carries already-extracted `text` instead of `html`; the extraction
+    step is skipped, everything downstream (langid, perplexity, scrub,
+    stats, rules, findings) runs identically."""
+    # Early projection: ground-truth lang (or anything else) must not
     # ride the repartition shuffle and the Arrow round trip.
-    pages = pages.select("url", "warc_ts", "html")
-    scored = apply_model_stage(pages)
+    pages = pages.select("url", "warc_ts", "text" if text_input else "html")
+    scored = apply_model_stage(pages, text_input=text_input)
     out = with_findings(scored)
     out = out.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(TH.N_BUCKETS)).cast("int")
@@ -135,6 +140,7 @@ def materialize(
     pages: DataFrame,
     out_dir: str,
     input_snapshot: str = "synthetic",
+    text_input: bool = False,
 ) -> PipelineResult:
     """Write pages_out once; derive metrics/lineage from the written table."""
     pages_path = os.path.join(out_dir, "pages_out")
@@ -149,7 +155,7 @@ def materialize(
     n_parts = _scan_partitions_estimate(spark, pages)
     if n_parts is not None and n_parts != target:
         pages = pages.repartition(target)
-    plan = verdict_plan(pages)
+    plan = verdict_plan(pages, text_input=text_input)
     # Cluster by bucket before the partitioned write: otherwise every write
     # task emits a file per bucket (tasks × buckets tiny files — observed
     # 2048 files for a 4k-doc bench, dominating both the write and every

@@ -98,3 +98,50 @@ def test_cli_output_path_flags(spark, pages_parquet, th_restore):
     # reports went to the override dir, not <output>/reports
     assert any(os.scandir(pit))
     assert not os.path.exists(os.path.join(out, "reports"))
+
+
+def test_skip_extract_equivalence(spark, th_restore):
+    """The --skip-extract path must produce EXACTLY the verdicts of the
+    html path when fed that path's own extracted text (the reference's
+    --skip-somef contract: analysis of pre-extracted outputs == analysis
+    after extraction)."""
+    from rsmetacheck_spark.plans.pipeline import materialize
+
+    spark_pages = spark.createDataFrame(
+        synth.gen_pages(200, seed=13)
+    ).select("url", "warc_ts", "html")
+    out1 = materialize(spark, spark_pages, tempfile.mkdtemp(prefix="ske1_"))
+    pre = out1.pages_out.selectExpr("url", "warc_ts", "extracted_text AS text")
+    out2 = materialize(
+        spark, pre, tempfile.mkdtemp(prefix="ske2_"), text_input=True
+    )
+    cols = (
+        "url", "lang_pred", "log_ppl", "keep", "scrubbed_text",
+        "to_json(findings) AS fj", "bucket",
+    )
+    a = out1.pages_out.selectExpr(*cols).orderBy("url").collect()
+    b = out2.pages_out.selectExpr(*cols).orderBy("url").collect()
+    assert a == b
+
+
+def test_cli_skip_extract_flag(spark, pages_parquet, th_restore):
+    # build a pre-extracted text table from the html corpus via the
+    # library path, then drive the CLI over it with --skip-extract
+    from rsmetacheck_spark.plans.pipeline import materialize, read_pages
+
+    res = materialize(
+        spark, read_pages(spark, pages_parquet), tempfile.mkdtemp(prefix="skc_")
+    )
+    text_dir = tempfile.mkdtemp(prefix="sk_text_") + "/pages"
+    res.pages_out.selectExpr(
+        "url", "warc_ts", "extracted_text AS text"
+    ).write.parquet(text_dir)
+    out = _run(text_dir, "--skip-extract")
+    summary = json.load(open(os.path.join(out, "analysis_results.json")))
+    from rsmetacheck_spark.operators.report import summary_report
+
+    base = json.loads(summary_report(
+        res.metrics, res.pages_out.count(),
+        res.pages_out.filter("keep").count(),
+    ))
+    assert summary == base
