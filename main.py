@@ -36,11 +36,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def _apply_threshold_overrides(pairs: list[str]) -> None:
     """NAME=VALUE threshold overrides. Values are literal-eval'd so ints,
     floats, strings and tuples all round-trip; unknown names fail fast
-    (a typo'd threshold silently running at the default is worse)."""
+    (a typo'd threshold silently running at the default is worse).
+
+    Overrides are applied to the driver module AND exported via
+    RSMC_THRESHOLD_OVERRIDES, which thresholds.py re-applies at module
+    import — PySpark worker processes import the module fresh, so
+    executor-consumed thresholds (PII_PATTERNS, STOPWORDS, KEEP_LANGS,
+    ...) would otherwise silently run the defaults. Set BEFORE the
+    SparkSession starts (main() does); get_spark mirrors the env var
+    into spark.executorEnv for cluster executors."""
     import ast
+    import json
 
     from rsmetacheck_spark import thresholds as TH
 
+    applied = {}
     for kv in pairs:
         name, _, raw = kv.partition("=")
         if not _ or not hasattr(TH, name):
@@ -54,6 +64,16 @@ def _apply_threshold_overrides(pairs: list[str]) -> None:
         except (SyntaxError, ValueError):
             value = raw
         setattr(TH, name, value)
+        applied[name] = value
+    if applied:
+        TH.OVERRIDDEN = frozenset(set(TH.OVERRIDDEN) | set(applied))
+        try:
+            os.environ["RSMC_THRESHOLD_OVERRIDES"] = json.dumps(applied)
+        except TypeError as e:  # non-JSON value: driver-plan-only override
+            raise SystemExit(
+                f"--threshold values must be JSON-encodable to reach "
+                f"executor workers: {e}"
+            )
 
 
 def _apply_rule_subset(spec: str) -> None:
@@ -78,8 +98,9 @@ def main(argv: list[str] | None = None) -> None:
         description="Quality-filter web pages and report per-rule findings."
     )
     ap.add_argument(
-        "--input", required=True, nargs="+",
-        help="One or more pages parquet paths/dirs (unioned by name).",
+        "--input", required=True, nargs="+", action="extend",
+        help="One or more pages parquet paths/dirs (unioned by name); "
+        "the flag may also be repeated.",
     )
     ap.add_argument("--output", required=True)
     ap.add_argument("--snapshot", default=None)
@@ -126,14 +147,17 @@ def main(argv: list[str] | None = None) -> None:
     from rsmetacheck_spark.streaming.incremental import read_resumed, resume_materialize
 
     spark = get_spark("rsmetacheck_main", cores=args.cpus)
+    # allowMissingColumns: optional columns (text/lang) may be present in
+    # only some inputs; union on the common set, null-fill the rest
     pages = reduce(
-        lambda a, b: a.unionByName(b),
+        lambda a, b: a.unionByName(b, allowMissingColumns=True),
         (read_pages(spark, path) for path in args.input),
     )
     snapshot = args.snapshot or f"input:{','.join(args.input)}"
 
     if args.resume:
-        resume_materialize(spark, pages, args.output)
+        resume_materialize(spark, pages, args.output,
+                           text_input=args.skip_extract)
         pages_out = read_resumed(spark, args.output)
         from rsmetacheck_spark.operators.metrics import (
             lineage_table,
@@ -161,9 +185,21 @@ def main(argv: list[str] | None = None) -> None:
     analysis_path = args.analysis_output or os.path.join(
         args.output, "analysis_results.json"
     )
-    os.makedirs(os.path.dirname(analysis_path) or ".", exist_ok=True)
-    with open(analysis_path, "w") as fh:
-        fh.write(summary if summary.endswith("\n") else summary + "\n")
+    body = summary if summary.endswith("\n") else summary + "\n"
+    if "://" in analysis_path:
+        # remote URI (--output hdfs://... / s3://...): write through the
+        # cluster filesystem like every table, not the driver's local disk
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        path = jvm.org.apache.hadoop.fs.Path(analysis_path)
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        out = fs.create(path, True)
+        out.write(bytearray(body.encode()))
+        out.close()
+    else:
+        os.makedirs(os.path.dirname(analysis_path) or ".", exist_ok=True)
+        with open(analysis_path, "w") as fh:
+            fh.write(body)
     print(summary)
 
 

@@ -80,7 +80,10 @@ def largestar_components(
         # m = min(N<(u) ∪ {u}); input is already (a, b) with b < a.
         # No dedup between the stars: duplicate emissions are absorbed by
         # the min-aggregate and the final distinct — one less shuffle.
-        le = large
+        # `large` is consumed TWICE below (the min aggregate and the join
+        # probe side); materialize it once so the large-star subtree isn't
+        # recomputed inside the round's checkpoint job.
+        le = checkpoint(large, f"cc_large_{_round}")
         minsle = le.groupBy("a").agg(F.min("b").alias("m"))
         small = (
             le.join(minsle, "a").filter("b <> m")

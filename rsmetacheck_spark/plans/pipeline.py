@@ -121,7 +121,20 @@ def _scan_partitions_estimate(spark: SparkSession, pages: DataFrame) -> int | No
         )
     except (OSError, ValueError):
         return None
-    return max(1, -(-total // mpb))
+    # Spark's FilePartition sizing SHRINKS the split size for small
+    # inputs: maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    # totalBytes / minPartitionNum)) with minPartitionNum defaulting to
+    # the default parallelism — omitting this over-estimates split size,
+    # under-counts partitions, and triggers a spurious full repartition
+    # of the raw input before the model stage.
+    min_parts = int(
+        spark.conf.get(
+            "spark.sql.files.minPartitionNum",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    )
+    max_split = min(mpb, max(open_cost, total // max(min_parts, 1)))
+    return max(1, -(-total // max_split))
 
 
 def run_pipeline(pages: DataFrame, input_snapshot: str = "synthetic") -> PipelineResult:
@@ -153,7 +166,10 @@ def materialize(
     # so 2x+ over-partitioning *lowers* throughput at bench scale.
     target = spark.sparkContext.defaultParallelism
     n_parts = _scan_partitions_estimate(spark, pages)
-    if n_parts is not None and n_parts != target:
+    # band, not equality: n_parts is an ESTIMATE of the scan's packing —
+    # rebalance only when clearly under-partitioned (serialized Python
+    # stage) or heavily over-partitioned (per-task Arrow round-trip cost)
+    if n_parts is not None and not (target <= n_parts <= 2 * target):
         pages = pages.repartition(target)
     plan = verdict_plan(pages, text_input=text_input)
     # Cluster by bucket before the partitioned write: otherwise every write

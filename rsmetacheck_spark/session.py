@@ -18,8 +18,17 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = SparkSession.builder
+    # threshold overrides (main.py --threshold) must reach executor-side
+    # module imports on a real cluster; local-mode workers inherit the
+    # driver env already (thresholds._apply_env_overrides)
+    overrides = os.environ.get("RSMC_THRESHOLD_OVERRIDES")
+    if overrides:
+        builder = builder.config(
+            "spark.executorEnv.RSMC_THRESHOLD_OVERRIDES", overrides
+        )
     return (
-        SparkSession.builder
+        builder
         .master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

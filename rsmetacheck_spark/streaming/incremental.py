@@ -54,10 +54,13 @@ def resume_materialize(
     out_dir: str,
     group_size: int = 8,
     fail_after_groups: int | None = None,
+    text_input: bool = False,
 ) -> set[int]:
     """Process pages bucket-group by bucket-group, checkpointing after each
     group. `fail_after_groups` injects a crash (for the kill/resume test).
-    Returns the set of completed buckets."""
+    `text_input` mirrors pipeline.materialize (pre-extracted input —
+    a resumed --skip-extract run must not re-select html). Returns the
+    set of completed buckets."""
     os.makedirs(out_dir, exist_ok=True)
     pages_path = os.path.join(out_dir, "pages_out")
     done = load_done(out_dir)
@@ -66,7 +69,8 @@ def resume_materialize(
         return done
 
     # bucket is a pure function of url: filter before the expensive stage
-    pages = pages.select("url", "warc_ts", "html").withColumn(
+    payload = "text" if text_input else "html"
+    pages = pages.select("url", "warc_ts", payload).withColumn(
         "__b", F.pmod(F.xxhash64("url"), F.lit(TH.N_BUCKETS)).cast("int")
     )
     groups = [todo[i : i + group_size] for i in range(0, len(todo), group_size)]
@@ -74,7 +78,9 @@ def resume_materialize(
         if fail_after_groups is not None and gi >= fail_after_groups:
             raise RuntimeError(f"injected failure before group {gi}")
         part = pages.filter(F.col("__b").isin(group)).drop("__b")
-        plan = encode_for_sink(verdict_plan(part)).repartition(len(group), "bucket")
+        plan = encode_for_sink(
+            verdict_plan(part, text_input=text_input)
+        ).repartition(len(group), "bucket")
         (
             plan.write.mode("overwrite")
             .partitionBy("bucket")

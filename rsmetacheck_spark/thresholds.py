@@ -179,3 +179,36 @@ N_SALT = 16
 # Output bucketing: deterministic url-hash buckets; the unit of partitioned
 # writes, per-partition lineage, and checkpoint/resume (overwrite-by-bucket).
 N_BUCKETS = 32
+
+
+# ---------------------------------------------------------------------------
+# Runtime overrides (main.py --threshold): applied from an env var AT MODULE
+# IMPORT so PySpark WORKER processes — which re-import this module fresh and
+# would otherwise silently run the defaults (scrub compiles PII_PATTERNS and
+# the langid/perplexity singletons read STOPWORDS/KEEP_LANGS executor-side)
+# — see exactly what the driver sees. The driver sets the env var before the
+# session starts (local-mode workers inherit it) and mirrors it into
+# spark.executorEnv for cluster executors (session.get_spark).
+# ---------------------------------------------------------------------------
+
+# names overridden at runtime (env or main.py --threshold) — consumers
+# with default-shape fast paths (scrub's prescreen) must check this
+OVERRIDDEN: frozenset = frozenset()
+
+
+def _apply_env_overrides() -> None:
+    import json as _json
+    import os as _os
+
+    raw = _os.environ.get("RSMC_THRESHOLD_OVERRIDES")
+    if not raw:
+        return
+    data = _json.loads(raw)
+    for _k, _v in data.items():
+        globals()[_k] = _v
+    globals()["OVERRIDDEN"] = frozenset(data)
+    # keep derived registries consistent if RULES itself was overridden
+    globals()["RULE_SEVERITY"] = dict(globals()["RULES"])
+
+
+_apply_env_overrides()

@@ -50,9 +50,11 @@ def test_cli_default_run(spark, pages_parquet, th_restore):
 
 
 def test_cli_multi_input_union(spark, pages_parquet, th_restore):
+    # nargs='+' AND a repeated flag must both accumulate (action='extend');
+    # the default argparse store action silently discards earlier --input
     out = _run(pages_parquet, "--input", pages_parquet, pages_parquet)
     summary = json.load(open(os.path.join(out, "analysis_results.json")))
-    assert summary["total_docs"] == 600  # two inputs unioned
+    assert summary["total_docs"] == 900  # three inputs unioned
 
 
 def test_cli_rules_subset(spark, pages_parquet, th_restore):
@@ -145,3 +147,49 @@ def test_cli_skip_extract_flag(spark, pages_parquet, th_restore):
         res.pages_out.filter("keep").count(),
     ))
     assert summary == base
+
+
+def test_cli_threshold_reaches_executors(pages_parquet, th_restore):
+    """PII_PATTERNS is compiled at scrub-module import INSIDE worker
+    processes — a driver-only setattr can't reach it (the round-4 review
+    finding). The env-var propagation must: overriding the email pattern
+    to match any vowel has to make R011 fire on ~every doc (default ~8/300).
+    Runs main.py as a real subprocess so module import order matches the
+    spark-submit launch shape."""
+    import subprocess
+    import sys
+
+    out = tempfile.mkdtemp(prefix="cli_exec_")
+    ana = os.path.join(out, "s.json")
+    cmd = [
+        sys.executable, "main.py", "--input", pages_parquet,
+        "--output", out, "--cpus", "8", "--analysis-output", ana,
+        "--threshold", "PII_PATTERNS=(('pii_email','[aeiou]','*'),)",
+    ]
+    p = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.load(open(ana))
+    hits = {r["rule"]: r["hits"] for r in summary["rules"]}
+    assert hits["R011_pii_email"] > 250, hits
+
+
+def test_resume_with_skip_extract(spark, pages_parquet, th_restore):
+    """A resumed --skip-extract run must process the text payload, not
+    crash selecting the absent html column (round-4 review finding)."""
+    from rsmetacheck_spark.plans.pipeline import materialize, read_pages
+    from rsmetacheck_spark.streaming.incremental import (
+        read_resumed, resume_materialize,
+    )
+
+    res = materialize(
+        spark, read_pages(spark, pages_parquet), tempfile.mkdtemp(prefix="rse_")
+    )
+    pre = res.pages_out.selectExpr("url", "warc_ts", "extracted_text AS text")
+    out = tempfile.mkdtemp(prefix="rse_out_")
+    resume_materialize(spark, pre, out, text_input=True)
+    resumed = read_resumed(spark, out)
+    assert resumed.count() == res.pages_out.count()
+    assert (resumed.filter("keep").count()
+            == res.pages_out.filter("keep").count())
