@@ -63,17 +63,20 @@ def _apply_threshold_overrides(pairs: list[str]) -> None:
             value = ast.literal_eval(raw)
         except (SyntaxError, ValueError):
             value = raw
-        setattr(TH, name, value)
         applied[name] = value
     if applied:
-        TH.OVERRIDDEN = frozenset(set(TH.OVERRIDDEN) | set(applied))
         try:
-            os.environ["RSMC_THRESHOLD_OVERRIDES"] = json.dumps(applied)
-        except TypeError as e:  # non-JSON value: driver-plan-only override
+            payload = json.dumps(applied)
+        except TypeError as e:  # non-JSON value: can't reach executors
             raise SystemExit(
                 f"--threshold values must be JSON-encodable to reach "
                 f"executor workers: {e}"
             )
+        # the shared entry point keeps derived registries (RULE_SEVERITY,
+        # STOPWORD_UNION) consistent on the driver exactly as worker
+        # imports will compute them from the env var
+        TH.apply_overrides(applied)
+        os.environ["RSMC_THRESHOLD_OVERRIDES"] = payload
 
 
 def _apply_rule_subset(spec: str) -> None:
@@ -132,6 +135,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args(argv)
 
+    # a stale env var from an earlier run in this process (or an outer
+    # shell) would contaminate this run's workers — the flag set below is
+    # the only sanctioned source
+    os.environ.pop("RSMC_THRESHOLD_OVERRIDES", None)
     if args.threshold:
         _apply_threshold_overrides(args.threshold)
     if args.rules is not None:
@@ -147,11 +154,24 @@ def main(argv: list[str] | None = None) -> None:
     from rsmetacheck_spark.streaming.incremental import read_resumed, resume_materialize
 
     spark = get_spark("rsmetacheck_main", cores=args.cpus)
-    # allowMissingColumns: optional columns (text/lang) may be present in
-    # only some inputs; union on the common set, null-fill the rest
+    # every input must carry the payload column for the selected mode —
+    # null-filling a missing payload would silently drop that input's
+    # docs through the rules instead of failing loudly
+    payload = "text" if args.skip_extract else "html"
+    parts = []
+    for path in args.input:
+        df = read_pages(spark, path)
+        if payload not in df.columns:
+            raise SystemExit(
+                f"--input {path}: missing required column {payload!r} "
+                f"(columns: {df.columns}); use {'--skip-extract' if payload == 'html' else 'the html pipeline'}"
+                " for inputs of the other shape"
+            )
+        parts.append(df)
+    # optional columns (lang, the other payload) may differ; union on the
+    # common set and null-fill the rest
     pages = reduce(
-        lambda a, b: a.unionByName(b, allowMissingColumns=True),
-        (read_pages(spark, path) for path in args.input),
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
     )
     snapshot = args.snapshot or f"input:{','.join(args.input)}"
 

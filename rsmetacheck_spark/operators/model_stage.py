@@ -83,8 +83,11 @@ def _process_batch(pdf: pd.DataFrame, src_col: str = "html") -> pd.DataFrame:
             # and the sink; consumers restore it with
             # coalesce(extracted_text, scrubbed_text)
             # (plans.pipeline.decode_from_sink).
-            if not (counts.get("pii_email", 0) or counts.get("pii_phone", 0)
-                    or counts.get("pii_id", 0)):
+            # any-replacement test over ALL pattern names, not the three
+            # stock ones: a custom --threshold PII_PATTERNS override must
+            # not trick the sparse contract into nulling text the scrub
+            # actually changed
+            if not any(counts.values()):
                 out["extracted_text"][i] = None
         except Exception as exc:  # error isolation per row, never fail the task
             out["model_error"][i] = f"{type(exc).__name__}: {exc}"

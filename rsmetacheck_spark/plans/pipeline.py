@@ -166,10 +166,12 @@ def materialize(
     # so 2x+ over-partitioning *lowers* throughput at bench scale.
     target = spark.sparkContext.defaultParallelism
     n_parts = _scan_partitions_estimate(spark, pages)
-    # band, not equality: n_parts is an ESTIMATE of the scan's packing —
-    # rebalance only when clearly under-partitioned (serialized Python
-    # stage) or heavily over-partitioned (per-task Arrow round-trip cost)
-    if n_parts is not None and not (target <= n_parts <= 2 * target):
+    # band, not equality: n_parts is an ESTIMATE of the scan's packing
+    # (greedy file packing can land ±1-few off the ceil estimate) —
+    # rebalance only when CLEARLY under-partitioned (the serialized-
+    # Python-stage disaster case is 1-4 partitions, not target-1) or
+    # heavily over-partitioned (per-task Arrow round-trip cost)
+    if n_parts is not None and (2 * n_parts < target or n_parts > 2 * target):
         pages = pages.repartition(target)
     plan = verdict_plan(pages, text_input=text_input)
     # Cluster by bucket before the partitioned write: otherwise every write

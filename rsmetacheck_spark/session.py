@@ -27,6 +27,27 @@ def get_spark(
         builder = builder.config(
             "spark.executorEnv.RSMC_THRESHOLD_OVERRIDES", overrides
         )
+        # getOrCreate silently drops config when a session already exists,
+        # and already-launched local workers captured the JVM env at its
+        # start — EXECUTOR-consumed overrides would NOT reach them. Fail
+        # loudly for those rather than run a silent-default hybrid;
+        # driver-plan scalars (MIN_WORDS, ...) are unaffected and pass.
+        import json
+
+        from . import thresholds as TH
+
+        exec_names = set(json.loads(overrides)) & set(TH.EXECUTOR_CONSUMED)
+        active = SparkSession.getActiveSession()
+        if exec_names and active is not None and active.conf.get(
+            "spark.executorEnv.RSMC_THRESHOLD_OVERRIDES", None
+        ) != overrides:
+            raise RuntimeError(
+                f"executor-consumed threshold override(s) "
+                f"{sorted(exec_names)} were set after a SparkSession was "
+                "already running — worker processes would keep the "
+                "defaults. Stop the session (or launch a fresh process) "
+                "before applying these overrides."
+            )
     return (
         builder
         .master(f"local[{cores}]")

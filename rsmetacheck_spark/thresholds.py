@@ -195,20 +195,46 @@ N_BUCKETS = 32
 # with default-shape fast paths (scrub's prescreen) must check this
 OVERRIDDEN: frozenset = frozenset()
 
+# thresholds consumed INSIDE executor worker processes (module import /
+# model-singleton build), as opposed to scalars baked into the Catalyst
+# plan on the driver. Overriding one of these requires the env var to be
+# in place BEFORE the SparkSession launches (session.get_spark enforces).
+EXECUTOR_CONSUMED = frozenset({
+    "PII_PATTERNS",        # scrub.py compiles at import
+    "STOPWORDS",           # langid/perplexity singletons; pytext union
+    "STOPWORD_UNION",      # pytext._STOPSET at import
+    "KEEP_LANGS",          # langid/perplexity model vocab
+    "ALL_LANGS",
+    "SYMBOL_CHARS",        # pytext._SYM_RE at import
+    "DUP_NGRAM_N",         # pytext at call time (worker module instance)
+})
+
+
+def apply_overrides(data: dict) -> None:
+    """Apply threshold overrides AND recompute every derived registry —
+    the single override entry point shared by the driver (main.py
+    --threshold) and worker imports (_apply_env_overrides), so the two
+    can never diverge on derived values."""
+    g = globals()
+    for _k, _v in data.items():
+        g[_k] = _v
+    g["OVERRIDDEN"] = frozenset(set(g["OVERRIDDEN"]) | set(data))
+    # derived registries: recompute unless the override set them directly
+    if "RULE_SEVERITY" not in data:
+        g["RULE_SEVERITY"] = dict(g["RULES"])
+    if "STOPWORD_UNION" not in data:
+        g["STOPWORD_UNION"] = tuple(
+            sorted({w for ws in g["STOPWORDS"].values() for w in ws})
+        )
+
 
 def _apply_env_overrides() -> None:
     import json as _json
     import os as _os
 
     raw = _os.environ.get("RSMC_THRESHOLD_OVERRIDES")
-    if not raw:
-        return
-    data = _json.loads(raw)
-    for _k, _v in data.items():
-        globals()[_k] = _v
-    globals()["OVERRIDDEN"] = frozenset(data)
-    # keep derived registries consistent if RULES itself was overridden
-    globals()["RULE_SEVERITY"] = dict(globals()["RULES"])
+    if raw:
+        apply_overrides(_json.loads(raw))
 
 
 _apply_env_overrides()
