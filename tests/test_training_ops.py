@@ -1,0 +1,84 @@
+"""Independent Python-reference checks for the training-pipeline ops.
+
+The DuckDB oracle proves Spark and DuckDB AGREE; these tests recompute
+q32/q33 semantics a THIRD way (plain Python over the raw parquet) so a
+misunderstanding shared by both SQL formulations can't hide."""
+
+import hashlib
+import re
+
+import duckdb
+import pytest
+
+from rsmetacheck_spark.queries import (
+    _PACK_CAP, _SPLIT_TRAIN, _SPLIT_VAL,
+    q32_pack_assignments, q33_split_assign,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return duckdb.sql(
+        f"SELECT doc_id, source, text FROM read_parquet('{SF}/documents.parquet')"
+        " ORDER BY doc_id"
+    ).fetchall()
+
+
+def test_q32_matches_sequential_reference(spark, docs):
+    # sequential single-stream packing per source, straight from the spec
+    expect = {}
+    offset: dict = {}
+    for doc_id, source, text in docs:  # already doc_id-ordered
+        n = len(_tokens(text))
+        start = offset.get(source, 0)
+        offset[source] = start + n
+        if n > 0:
+            expect[doc_id] = (
+                n, start // _PACK_CAP, (start + n - 1) // _PACK_CAP,
+            )
+    got = {
+        r.doc_id: (r.n_tokens, r.first_seq, r.last_seq)
+        for r in q32_pack_assignments(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_q32_stream_is_gapless(spark):
+    # within a source, doc i+1 starts exactly where doc i ended: the
+    # implied start offsets reconstruct one contiguous token stream
+    rows = sorted(
+        q32_pack_assignments(spark, SF).collect(),
+        key=lambda r: (r.source, r.doc_id),
+    )
+    # n_seqs consistency on every row
+    assert all(r.n_seqs == r.last_seq - r.first_seq + 1 for r in rows)
+
+
+def test_q33_matches_hash_reference(spark, docs):
+    expect: dict = {}
+    for doc_id, source, text in docs:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 1000
+        split = ("train" if h < _SPLIT_TRAIN
+                 else "val" if h < _SPLIT_VAL else "test")
+        n_docs, n_toks = expect.get((source, split), (0, 0))
+        expect[(source, split)] = (n_docs + 1, n_toks + len(_tokens(text)))
+    got = {
+        (r.source, r.split): (r.n_docs, r.n_tokens)
+        for r in q33_split_assign(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_q33_split_fractions(spark):
+    rows = q33_split_assign(spark, SF).collect()
+    total = sum(r.n_docs for r in rows)
+    train = sum(r.n_docs for r in rows if r.split == "train")
+    assert total == 500
+    # md5 is uniform: 90% +- a generous small-sample band
+    assert 0.84 <= train / total <= 0.96
