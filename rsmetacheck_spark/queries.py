@@ -2436,6 +2436,62 @@ def sim05_ivf_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sim06_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-quantized (int8) brute-force top-k: per-vector symmetric
+    max-abs quantization (scale = 127/max|x|, q = floor(x*scale + 0.5) ∈
+    [-127, 127]) and an INTEGER dot product between quantized query and
+    corpus — the 4×-smaller-storage / SIMD-integer path a 100 TB vector
+    store runs before exact rescoring. The floor(+0.5) form is used in
+    BOTH engines because round() half-way semantics differ cross-engine;
+    the integer dot is exactly reproducible, so it anchors the output
+    (the rescaled approximate cosine rides along, rounded)."""
+    e = _t(spark, sf, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS double)) AS v"
+    )
+    sc = "(CAST(127 AS double) / aggregate(v, CAST(0 AS double), (a, x) -> greatest(a, abs(x))))"
+    nv = "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
+    qz = e.selectExpr(
+        "vec_id", f"{sc} AS sc", f"{nv} AS nv",
+    ).join(e, "vec_id").selectExpr(
+        "vec_id", "sc", "nv",
+        "transform(v, x -> CAST(floor(x * sc + 0.5) AS bigint)) AS qv",
+    )
+    q = qz.filter(F.col("vec_id") == 0).selectExpr(
+        "qv AS qq", "sc AS sq", "nv AS nq"
+    )
+    idot = "aggregate(zip_with(qv, qq, (x, y) -> x * y), CAST(0 AS bigint), (acc, x) -> acc + x)"
+    return (
+        qz.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .selectExpr(
+            "vec_id",
+            f"{idot} AS dot_q",
+            f"round(({idot}) / (sc * sq * nv * nq), 6) AS approx_cos",
+        )
+        .orderBy(F.col("approx_cos").desc(), F.col("vec_id").asc())
+        .limit(ANN_K)
+    )
+
+
+SQL_SIM06 = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         127.0 / list_max(list_transform(v, x -> abs(x))) AS sc,
+         sqrt(list_dot_product(v, v)) AS nv,
+         list_transform(v, x -> CAST(floor(x * (127.0 / list_max(list_transform(v, y -> abs(y)))) + 0.5) AS BIGINT)) AS qv
+  FROM e),
+q AS (SELECT qv AS qq, sc AS sq, nv AS nq FROM qz WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(list_sum(list_transform(generate_series(1, 64),
+            i -> qv[i] * qq[i])) AS BIGINT) AS dot_q,
+       ROUND(list_sum(list_transform(generate_series(1, 64),
+            i -> qv[i] * qq[i])) / (sc * sq * nv * nq), 6) AS approx_cos
+FROM qz, q WHERE vec_id <> 0
+ORDER BY approx_cos DESC, vec_id ASC LIMIT {ANN_K}
+"""
+
+
 SQL_SIM05 = f"""
 WITH {_SQL_IVF_CENT_CTES},
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -2509,6 +2565,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dd08_incremental_dedup": (dd08_incremental_dedup, _sql_dd08()),
     "q33_split_assign": (q33_split_assign, _sql_q33()),
     "sim05_ivf_multiprobe": (sim05_ivf_multiprobe, SQL_SIM05),
+    "sim06_quantized_topk": (sim06_quantized_topk, SQL_SIM06),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -2549,6 +2606,7 @@ _FRONT = [
     "dd08_incremental_dedup",
     "mm02_frame_samples",
     "mm03_resize",
+    "sim06_quantized_topk",
 ]
 _BACK = [
     "q01_pricing_summary",

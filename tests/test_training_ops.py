@@ -82,3 +82,18 @@ def test_q33_split_fractions(spark):
     assert total == 500
     # md5 is uniform: 90% +- a generous small-sample band
     assert 0.84 <= train / total <= 0.96
+
+
+def test_sim06_quantization_quality(spark):
+    """int8 max-abs quantization must preserve the neighborhood: the
+    quantized top-10 overlaps the exact float top-10 heavily, and the
+    approximate cosines sit within the per-axis quantization error."""
+    from rsmetacheck_spark.queries import sim01_ann_topk, sim06_quantized_topk
+
+    exact = {r.vec_id: r.cos_sim for r in sim01_ann_topk(spark, SF).collect()}
+    quant = {r.vec_id: r.approx_cos
+             for r in sim06_quantized_topk(spark, SF).collect()}
+    overlap = len(set(exact) & set(quant))
+    assert overlap >= 8, (sorted(exact), sorted(quant))
+    for vid in set(exact) & set(quant):
+        assert abs(exact[vid] - quant[vid]) < 0.02, (vid, exact[vid], quant[vid])
