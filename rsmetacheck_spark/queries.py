@@ -2404,6 +2404,58 @@ FROM s GROUP BY source, split
 """
 
 
+# GPT-2-style pretokenizer, RE2-safe: the canonical pattern's trailing
+# `\s+(?!\S)` lookahead is dropped (RE2/DuckDB has no lookahead) in favor
+# of a plain whitespace-run branch — letters/digits/punctuation runs with
+# optional leading space, exactly the BPE pre-split shape.
+_BPE_RX = r"( ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+|[ \t\n]+)"
+
+
+def q34_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish token accounting: per source, documents counted under the
+    GPT-2-style pretokenizer regex vs the whitespace tokenizer, with the
+    blowup ratio in exact integer micro-units — the number every token-
+    budgeted mixture config needs (whitespace counts under-estimate BPE
+    cost by the ratio reported here). Map-only scan + one combined
+    groupBy; the regex runs inside codegen on both engines."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    return (
+        d.selectExpr(
+            "source",
+            f"size(regexp_extract_all(text, '{_BPE_RX}', 0)) AS n_bpe",
+            f"size({toks}) AS n_ws",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.sum("n_ws").alias("ws_tokens"),
+        )
+        .filter(F.col("ws_tokens") > 0)
+        .selectExpr(
+            "source", "n_docs", "bpe_tokens", "ws_tokens",
+            "(1000000 * bpe_tokens) div ws_tokens AS blowup_micro",
+        )
+    )
+
+
+def _sql_q34() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH n AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '{_BPE_RX}')) AS BIGINT) AS n_bpe,
+         CAST(len({t}) AS BIGINT) AS n_ws
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+       (1000000 * CAST(SUM(n_bpe) AS BIGINT)) // CAST(SUM(n_ws) AS BIGINT) AS blowup_micro
+FROM n GROUP BY source HAVING SUM(n_ws) > 0
+"""
+
+
 def sim05_ivf_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     """IVF search with nprobe=2 (sim03 is nprobe=1): scan the TWO nearest
     cells and take the global top-10 — the standard recall knob when the
@@ -2566,6 +2618,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q33_split_assign": (q33_split_assign, _sql_q33()),
     "sim05_ivf_multiprobe": (sim05_ivf_multiprobe, SQL_SIM05),
     "sim06_quantized_topk": (sim06_quantized_topk, SQL_SIM06),
+    "q34_bpe_token_stats": (q34_bpe_token_stats, _sql_q34()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -2607,6 +2660,7 @@ _FRONT = [
     "mm02_frame_samples",
     "mm03_resize",
     "sim06_quantized_topk",
+    "q34_bpe_token_stats",
 ]
 _BACK = [
     "q01_pricing_summary",

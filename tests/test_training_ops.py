@@ -97,3 +97,22 @@ def test_sim06_quantization_quality(spark):
     assert overlap >= 8, (sorted(exact), sorted(quant))
     for vid in set(exact) & set(quant):
         assert abs(exact[vid] - quant[vid]) < 0.02, (vid, exact[vid], quant[vid])
+
+
+def test_q34_matches_python_re(spark, docs):
+    """BPE-ish pretokenizer counts recomputed with Python re (third
+    implementation, catches a shared Spark/DuckDB regex misreading)."""
+    from rsmetacheck_spark.queries import _BPE_RX, q34_bpe_token_stats
+
+    rx = re.compile(_BPE_RX)
+    expect: dict = {}
+    for _doc_id, source, text in docs:
+        n_docs, bpe, ws = expect.get(source, (0, 0, 0))
+        expect[source] = (
+            n_docs + 1, bpe + len(rx.findall(text)), ws + len(_tokens(text)),
+        )
+    got = {
+        r.source: (r.n_docs, r.bpe_tokens, r.ws_tokens)
+        for r in q34_bpe_token_stats(spark, SF).collect()
+    }
+    assert got == {k: v for k, v in expect.items() if v[2] > 0}
