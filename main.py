@@ -51,10 +51,19 @@ def _apply_threshold_overrides(pairs: list[str]) -> None:
     from rsmetacheck_spark import thresholds as TH
 
     applied = {}
+    # isupper() gate: dir(TH) also exposes functions (apply_overrides)
+    # that hasattr alone would accept and silently clobber; OVERRIDDEN /
+    # EXECUTOR_CONSUMED are uppercase but are bookkeeping registries,
+    # not thresholds — overriding them corrupts the override machinery
+    not_thresholds = {"OVERRIDDEN", "EXECUTOR_CONSUMED"}
     for kv in pairs:
         name, _, raw = kv.partition("=")
-        if not _ or not hasattr(TH, name):
-            known = [n for n in dir(TH) if n.isupper()]
+        if (not _ or not name.isupper() or name in not_thresholds
+                or not hasattr(TH, name)):
+            known = [
+                n for n in dir(TH)
+                if n.isupper() and n not in not_thresholds
+            ]
             raise SystemExit(
                 f"--threshold {kv!r}: unknown threshold {name!r}; "
                 f"known: {', '.join(sorted(known))}"

@@ -101,8 +101,28 @@ def _scan_partitions_estimate(spark: SparkSession, pages: DataFrame) -> int | No
     unstatable (object store): there the scan's own maxPartitionBytes
     packing is already the right parallelism and no rebalance is wanted.
     """
+    # The file-packing estimate below is only valid for a BARE scan
+    # (optionally filtered/projected). If the caller already reshaped the
+    # partitioning — an explicit repartition (tools/profile_isoload.py
+    # repartitions to cpus before materialize) or a multi-path union —
+    # the estimate would ignore it and trigger a redundant full
+    # repartition of the raw input. Detect via the physical plan string
+    # (public explain() output; no _jdf) and defer to the caller.
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pages.explain(mode="simple")
+    plan_str = buf.getvalue()
+    if "Exchange" in plan_str or "Coalesce" in plan_str:
+        return None
+
     files = pages.inputFiles()
-    if not files:
+    if not files or "Union" in plan_str:
+        # Non-file input, or a multi-path union (CLI --input a --input b):
+        # per-scan packing makes the greedy estimate under-count, but the
+        # exact count is available driver-side (plan conversion, no job).
         return pages.rdd.getNumPartitions()
 
     def _bytes(conf_key: str, default: int) -> int:

@@ -2258,7 +2258,7 @@ def q32_pack_assignments(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("n_tokens") > 0)
         .selectExpr(
-            "doc_id", "source", "n_tokens",
+            "doc_id", "source", "CAST(n_tokens AS BIGINT) AS n_tokens",
             f"start_off div {_PACK_CAP} AS first_seq",
             f"(start_off + n_tokens - 1) div {_PACK_CAP} AS last_seq",
             f"(start_off + n_tokens - 1) div {_PACK_CAP}"
@@ -2277,10 +2277,10 @@ o AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
   FROM n)
 SELECT doc_id, source, n_tokens,
-       start_off // {_PACK_CAP} AS first_seq,
-       (start_off + n_tokens - 1) // {_PACK_CAP} AS last_seq,
-       (start_off + n_tokens - 1) // {_PACK_CAP}
-         - start_off // {_PACK_CAP} + 1 AS n_seqs
+       CAST(start_off // {_PACK_CAP} AS BIGINT) AS first_seq,
+       CAST((start_off + n_tokens - 1) // {_PACK_CAP} AS BIGINT) AS last_seq,
+       CAST((start_off + n_tokens - 1) // {_PACK_CAP}
+         - start_off // {_PACK_CAP} + 1 AS BIGINT) AS n_seqs
 FROM o WHERE n_tokens > 0
 """
 

@@ -24,6 +24,12 @@ def th_restore():
     yield
     for n, v in saved.items():
         setattr(TH, n, v)
+    # _apply_threshold_overrides exports into os.environ for executor
+    # imports; leaving it set leaks the override into every later
+    # get_spark / subprocess in this pytest process (an
+    # EXECUTOR_CONSUMED name would trip session.py's fresh-session
+    # RuntimeError in an unrelated test)
+    os.environ.pop("RSMC_THRESHOLD_OVERRIDES", None)
 
 
 @pytest.fixture(scope="module")

@@ -24,12 +24,17 @@ TABLES = (
 def norm_cell(v):
     if v is None:
         return None
+    if isinstance(v, bool):
+        # Tag: Python bool == int (True == 1), but the driver's value hash
+        # is typed, so Spark BOOLEAN vs oracle INTEGER must fail here too.
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 9)
-    if isinstance(v, bool):
-        return bool(v)
+        # Tag: Python 3.0 == 3, but the driver hashes typed values —
+        # an int-valued DOUBLE (e.g. DuckDB HUGEINT fetched as float64)
+        # vs Spark BIGINT must fail here too (the exact q32 r4 miss).
+        return ("float", round(v, 9))
     if hasattr(v, "isoformat"):
         return v.isoformat()[:19]
     try:
@@ -89,7 +94,14 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = [d[0] for d in rel.description]
-            drows = rel.fetchall()
+            # Fetch via Arrow, not fetchall(): fetchall() downcasts DuckDB
+            # HUGEINT to Python int (masking the q32-class typed-hash
+            # divergence the driver sees), while Arrow surfaces it as
+            # decimal128 — which norm_cell keeps distinct from int.
+            tbl = rel.arrow()
+            drows = [
+                tuple(row[c] for c in dcols) for row in tbl.to_pylist()
+            ]
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             n_fail += 1
