@@ -2562,6 +2562,311 @@ ORDER BY dist ASC, vec_id ASC LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# Round-5 additions: Bloom prefilter, salted hot-key aggregation, binned
+# quantile sketch, one k-means (Lloyd) iteration
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 8192  # filter bits (sized for the test corpus; scale: m ~ -n*ln(p)/ln(2)^2)
+_BLOOM_K = 4     # probes per key
+
+
+def _bloom_pos_spark(j: int) -> str:
+    """Probe j's bit position from hex chars [4j-3, 4j] of the content md5
+    (16 bits of independent hash material per probe, folded mod m)."""
+    return (
+        f"CAST(conv(substr(h, {(j - 1) * 4 + 1}, 4), 16, 10) AS bigint)"
+        f" % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos_duck(j: int) -> str:
+    # DuckDB has no conv(); parse the 4 hex chars positionally
+    return (
+        "CAST(list_sum(list_transform(generate_series(1, 4), c ->"
+        " (strpos('0123456789abcdef',"
+        f" substring(h, {(j - 1) * 4} + CAST(c AS INTEGER), 1)) - 1)"
+        " << ((4 - CAST(c AS INTEGER)) * 4))) AS BIGINT)"
+        f" % {_BLOOM_M}"
+    )
+
+
+def dd09_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter membership PREFILTER for incremental dedup (the stage
+    that runs before dd08's exact/near verification): the existing corpus
+    (even doc_id, as in dd08) is folded into a deterministic m-bit Bloom
+    filter (k probe positions from the content md5), and each incoming
+    doc (odd doc_id) is tested against it. Output per incoming doc:
+    `bloom_hit` (all k bits set — maybe-duplicate, route to verification)
+    vs `actual` (true exact membership) vs `is_fp` (the audit column: hit
+    but not a member, the filter's false-positive).
+
+    Scale shape: the filter is the DISTINCT set of set bit positions —
+    at most m rows (m bits) regardless of corpus size, produced by a
+    partial-aggregating explode+distinct over the existing side, then
+    broadcast to the incoming scan. The 100 TB incoming side is tested
+    map-side (broadcast join; the per-doc re-agg combines before its
+    exchange, moving ~1 row/doc); only the maybe-duplicate survivors pay
+    dd08's band-join price. The `actual`/`is_fp` columns are the AUDIT —
+    at production scale they are dropped (exact membership is what the
+    filter exists to avoid), leaving the whole prefilter broadcast-only.
+    Deterministic md5-derived probes make the same filter reproducible
+    across engines, partitionings and retries. (Spark's native
+    bloom_filter_agg/might_contain is the same shape with a packed
+    bitmap; the explicit-position form is used here because its bits are
+    engine-reproducible for the oracle.)"""
+    d = _t(spark, sf, "documents")
+    probes = ", ".join(_bloom_pos_spark(j) for j in range(1, _BLOOM_K + 1))
+    # array_distinct (map-side) not .distinct() (a shuffle): probes can
+    # collide WITHIN one doc, and the hit test below compares matched
+    # count to the doc's distinct-probe count
+    docs = d.selectExpr(
+        "doc_id", "md5(lower(trim(text))) AS h", "doc_id % 2 = 1 AS is_new"
+    ).selectExpr(
+        "doc_id", "h", "is_new", f"array_distinct(array({probes})) AS pos"
+    )
+    bits = (
+        docs.filter("NOT is_new")
+        .selectExpr("explode(pos) AS pos").distinct()
+    )
+    # single linear flow over the incoming side (one scan, h carried
+    # through): explode -> broadcast join on pos -> per-doc re-agg.
+    # Explode preserves doc locality, so partial aggregation combines
+    # each doc's k rows map-side and the groupBy exchange moves ~1
+    # row/doc.
+    hits = (
+        docs.filter("is_new")
+        .selectExpr("doc_id", "h", "explode(pos) AS pos")
+        .join(F.broadcast(bits.withColumn("set1", F.lit(1))), "pos", "left")
+        .groupBy("doc_id", "h")
+        .agg((F.count("*") == F.count("set1")).alias("bloom_hit"))
+    )
+    existing_h = docs.filter("NOT is_new").select("h").distinct()
+    return (
+        hits.join(
+            F.broadcast(existing_h.withColumn("actual", F.lit(True))),
+            "h", "left",
+        )
+        .selectExpr(
+            "doc_id", "bloom_hit",
+            "coalesce(actual, false) AS actual",
+            "bloom_hit AND NOT coalesce(actual, false) AS is_fp",
+        )
+    )
+
+
+def _sql_dd09() -> str:
+    probes = ", ".join(_bloom_pos_duck(j) for j in range(1, _BLOOM_K + 1))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, md5(lower(trim(text))) AS h, doc_id % 2 = 1 AS is_new
+  FROM documents),
+p AS (SELECT doc_id, h, is_new, [{probes}] AS pos FROM docs),
+bits AS (
+  SELECT DISTINCT unnest(pos) AS pos FROM p WHERE NOT is_new),
+inc_pos AS (
+  SELECT DISTINCT doc_id, unnest(pos) AS pos FROM p WHERE is_new),
+hits AS (
+  SELECT i.doc_id, COUNT(*) = COUNT(b.pos) AS bloom_hit
+  FROM inc_pos i LEFT JOIN bits b USING (pos) GROUP BY i.doc_id),
+member AS (
+  SELECT DISTINCT i.doc_id FROM p i
+  WHERE i.is_new AND EXISTS (
+    SELECT 1 FROM p e WHERE NOT e.is_new AND e.h = i.h))
+SELECT p.doc_id, bloom_hit,
+       m.doc_id IS NOT NULL AS actual,
+       bloom_hit AND m.doc_id IS NULL AS is_fp
+FROM p JOIN hits USING (doc_id) LEFT JOIN member m USING (doc_id)
+WHERE p.is_new
+"""
+
+
+_SALT_N = 16  # salt fan-out for the hot-key first phase
+
+
+def q35_salted_source_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key (skew-safe) per-source statistics via explicit two-phase
+    salted aggregation: phase 1 groups by (source, doc_id % SALT) so a
+    pathological source (one host emitting 30% of a crawl) spreads over
+    SALT reducers; phase 2 combines the SALT partials per source
+    (sum-of-sums, max-of-max, sum-of-counts). Distinct-language count
+    uses the matching two-level shape (source,lang) -> source, which is
+    the salted form of COUNT(DISTINCT) — partials reduce at every step,
+    so no reducer ever holds a hot key's full row set.
+
+    The DuckDB oracle keeps the naive single GROUP BY, making this a
+    two-formulation equivalence check (like q32): salted phases must be
+    algebraically exact, not approximate."""
+    d = _t(spark, sf, "documents")
+    p1 = (
+        d.selectExpr("source", f"doc_id % {_SALT_N} AS salt", "n_chars")
+        .groupBy("source", "salt")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("n_chars").alias("s"),
+            F.max("n_chars").alias("m"),
+        )
+    )
+    stats = p1.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum("s").alias("sum_chars"),
+        F.max("m").alias("max_chars"),
+    )
+    langs = (
+        d.groupBy("source", "lang").agg(F.lit(1).alias("one"))
+        .groupBy("source").agg(F.count("*").alias("n_langs"))
+    )
+    return stats.join(langs, "source").select(
+        "source", "n_docs", "sum_chars", "max_chars", "n_langs"
+    )
+
+
+SQL_Q35 = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MAX(n_chars) AS max_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source
+"""
+
+
+_QBIN_W = 64  # histogram bin width (chars)
+
+
+def q36_binned_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed quantile SKETCH: per-source p50/p90/p99 of n_chars from
+    a fixed-width histogram — the no-global-sort way to do percentiles
+    at 100 TB. One bounded groupBy builds per-(source, bin) counts
+    (cardinality sources × bins, independent of row count), a window
+    cumsum over that TINY table finds the bins where the cumulative
+    count crosses each rank, and the reported value is the bin's upper
+    bound (error ≤ bin width, chosen up front). Exact-integer arithmetic
+    throughout (cum*2 >= total, not 0.5 floats) keeps both engines
+    bit-identical. Contrast q21, which computes the exact median via
+    full per-group sort — correct, but its sort is the scale bottleneck
+    this sketch removes."""
+    d = _t(spark, sf, "documents")
+    b = (
+        d.selectExpr("source", f"n_chars div {_QBIN_W} AS bin")
+        .groupBy("source", "bin").agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("source")
+    cum = b.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "total", F.sum("c").over(wt)
+    ).withColumn("ub", (F.col("bin") + 1) * _QBIN_W - 1)
+    return cum.groupBy("source").agg(
+        F.max("total").alias("n_docs"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("ub"))).alias("p50_ub"),
+        F.min(F.when(F.col("cum") * 10 >= F.col("total") * 9, F.col("ub"))).alias("p90_ub"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("total") * 99, F.col("ub"))).alias("p99_ub"),
+    )
+
+
+SQL_Q36 = f"""
+WITH b AS (
+  SELECT source, n_chars // {_QBIN_W} AS bin, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2),
+cum AS (
+  SELECT source, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY source) AS total,
+         (bin + 1) * {_QBIN_W} - 1 AS ub
+  FROM b)
+SELECT source, CAST(MAX(total) AS BIGINT) AS n_docs,
+       MIN(CASE WHEN cum * 2 >= total THEN ub END) AS p50_ub,
+       MIN(CASE WHEN cum * 10 >= total * 9 THEN ub END) AS p90_ub,
+       MIN(CASE WHEN cum * 100 >= total * 99 THEN ub END) AS p99_ub
+FROM cum GROUP BY source
+"""
+
+
+_KM_K = 8        # clusters (= first k vec_ids as deterministic seeds)
+_KM_SCALE = 1000  # fixed-point quantization for exact cross-engine sums
+
+
+def km01_kmeans_iteration(spark: SparkSession, sf: str) -> DataFrame:
+    """One Lloyd (k-means) iteration over the embedding table — the
+    representative ITERATIVE algorithm: assign each vector to its nearest
+    seed centroid (seeds = the k smallest vec_ids, deterministic), then
+    emit the per-(cluster, dimension) member count and coordinate sum
+    the next iteration's centroids are computed from.
+
+    Scale shape: the k seed centroids (k*dim integers — here 512) are
+    COLLECTED to the driver and baked into the assignment expression as
+    literals — exactly how a k-means driver loop carries centroids
+    between iterations (Spark MLlib broadcasts the same array). That
+    makes assignment a map-only projection over the corpus scan — no
+    join, no per-row centroid duplication — and the only shuffle in the
+    whole plan is the final groupBy(cluster, dim), whose partial
+    aggregation shrinks every partition to ≤ k*dim rows first. argmin is
+    array_position of the min distance, which breaks ties to the LOWEST
+    cluster id (centroid literals are ordered by cid). Runs on
+    FIXED-POINT integers (floor(x*1000 + 0.5), the sim06 convention) so
+    distances, tie-breaks and sums are exactly reproducible in both
+    engines — float sum order would not be. A full k-means is this plan
+    in a driver loop (re-collecting k*dim numbers per round); one
+    iteration is the oracle-checkable unit."""
+    qexpr = (
+        f"transform(embedding, x -> CAST(floor(CAST(x AS double) * {_KM_SCALE}"
+        " + 0.5) AS bigint))"
+    )
+    e = _t(spark, sf, "embeddings").selectExpr("vec_id", f"{qexpr} AS qv")
+    seeds = (
+        e.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+    )  # k rows, k*dim ints — the driver-held state of the k-means loop
+    dists = ", ".join(
+        "aggregate(zip_with(qv, array({lits}), (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS bigint), (a, x) -> a + x)".format(
+            lits=", ".join(f"{v}L" for v in row.qv)
+        )
+        for row in seeds
+    )
+    assigned = e.selectExpr(
+        "qv",
+        f"array_position(array({dists}), array_min(array({dists}))) - 1 AS cid",
+    )
+    return (
+        assigned.select("cid", F.posexplode("qv").alias("dim0", "val"))
+        .selectExpr(
+            "CAST(cid AS bigint) AS cluster_id",
+            "CAST(dim0 + 1 AS bigint) AS dim", "val",
+        )
+        .groupBy("cluster_id", "dim")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("val").alias("sum_q"),
+        )
+    )
+
+
+SQL_KM01 = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * {_KM_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+cent AS (SELECT vec_id AS cid, qv AS cq FROM e WHERE vec_id < {_KM_K}),
+scored AS (
+  SELECT vec_id, qv, cid,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+           i -> (qv[i] - cq[i]) * (qv[i] - cq[i]))) AS BIGINT) AS dist
+  FROM e, cent),
+assigned AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT cid AS cluster_id, CAST(i AS BIGINT) AS dim,
+       COUNT(*) AS n_members, CAST(SUM(qv[i]) AS BIGINT) AS sum_q
+FROM assigned, generate_series(1, 64) AS g(i)
+GROUP BY cid, i
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2619,6 +2924,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sim05_ivf_multiprobe": (sim05_ivf_multiprobe, SQL_SIM05),
     "sim06_quantized_topk": (sim06_quantized_topk, SQL_SIM06),
     "q34_bpe_token_stats": (q34_bpe_token_stats, _sql_q34()),
+    "dd09_bloom_prefilter": (dd09_bloom_prefilter, _sql_dd09()),
+    "q35_salted_source_stats": (q35_salted_source_stats, SQL_Q35),
+    "q36_binned_quantiles": (q36_binned_quantiles, SQL_Q36),
+    "km01_kmeans_iteration": (km01_kmeans_iteration, SQL_KM01),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -2639,30 +2948,25 @@ from .streaming.oracle_rows import registry as _st_registry  # noqa: E402
 
 REGISTRY.update(_st_registry())
 
-# The driver CORRECTNESS gate samples the first N registry entries in
-# insertion order (round 3 took 50 of 56, so the tail 6 never got a
-# driver row). Rotate the never-driver-confirmed entries (round-3 tail +
-# the round-4 additions) to the front and the longest-confirmed ones
-# (green in rounds 1, 2 AND 3) to the back so every entry accumulates a
-# driver-green row across rounds.
+# The driver CORRECTNESS gate samples the first ~50 registry entries in
+# insertion order, so the tail never gets a driver row that round.
+# Round-5 rotation: front = the four round-5 additions (never sampled),
+# the ev03-ev07 family (skipped by the r4 cap; ev07 additionally changed
+# AFTER its last r3 driver sample — the P013 anchor fix), q32 (its
+# oracle changed this round: BIGINT casts), and the rest of the r4
+# unsampled tail. Back = 19 triple-driver-green (r2+r3+r4) entries whose
+# code is unchanged, so skipping them loses nothing.
 _FRONT = [
-    "ev08_version_presence_rules",
-    "ev09_rule_summary",
-    "ev10_network_rules",
-    "st01_stream_dedup",
-    "st02_stream_sessionize",
-    "st03_stream_hourly",
-    "st04_stream_enrich",
+    "dd09_bloom_prefilter",
+    "q35_salted_source_stats",
+    "q36_binned_quantiles",
+    "km01_kmeans_iteration",
+    "ev07_license_rules",
     "q32_pack_assignments",
-    "q33_split_assign",
-    "sim05_ivf_multiprobe",
-    "dd08_incremental_dedup",
-    "mm02_frame_samples",
-    "mm03_resize",
-    "sim06_quantized_topk",
-    "q34_bpe_token_stats",
-]
-_BACK = [
+    "ev03_author_rules",
+    "ev04_date_rules",
+    "ev05_identifier_rules",
+    "ev06_url_class_rules",
     "q01_pricing_summary",
     "q02_revenue_by_nation",
     "q03_topk_orders_per_priority",
@@ -2673,6 +2977,27 @@ _BACK = [
     "q11_top_ngrams",
     "q12_fingerprints",
     "dd01_exact_groups",
+]
+_BACK = [
+    "dd02_minhash_lsh_pairs",
+    "dd03_jaccard_pairs",
+    "dd04_simhash",
+    "dd05_embedding_pairs",
+    "dd06_dup_groups",
+    "ev01_version_rules",
+    "ev02_repo_url_rules",
+    "mm01_media_features",
+    "q13_props_json",
+    "q14_rollup_docs",
+    "q15_pivot_events",
+    "q16_setops",
+    "q17_asof_join",
+    "q19_ivf_centroids",
+    "q20_quality_score",
+    "q21_median_chars_by_source",
+    "q21b_median_grouped_udaf",
+    "q22_rolling_hash",
+    "q23_tfidf_terms",
 ]
 REGISTRY = {
     **{k: REGISTRY[k] for k in _FRONT},

