@@ -2570,22 +2570,37 @@ _BLOOM_M = 8192  # filter bits (sized for the test corpus; scale: m ~ -n*ln(p)/l
 _BLOOM_K = 4     # probes per key
 
 
+def _bloom_width() -> int:
+    """Hex chars of md5 material per probe: enough that a probe's range
+    covers m (else positions saturate below m and the filter caps out),
+    at least 4. k probes * width must fit md5's 32 hex chars — k=4
+    supports m up to 2^32."""
+    need = (max(_BLOOM_M - 1, 1).bit_length() + 3) // 4
+    w = max(4, need)
+    if _BLOOM_K * w > 32:
+        raise ValueError(f"BLOOM_M={_BLOOM_M} needs {w} hex chars/probe; "
+                         f"{_BLOOM_K} probes exceed md5's 32")
+    return w
+
+
 def _bloom_pos_spark(j: int) -> str:
-    """Probe j's bit position from hex chars [4j-3, 4j] of the content md5
-    (16 bits of independent hash material per probe, folded mod m)."""
+    """Probe j's bit position from its own w-char slice of the content
+    md5 (4w bits of independent hash material, folded mod m)."""
+    w = _bloom_width()
     return (
-        f"CAST(conv(substr(h, {(j - 1) * 4 + 1}, 4), 16, 10) AS bigint)"
+        f"CAST(conv(substr(h, {(j - 1) * w + 1}, {w}), 16, 10) AS bigint)"
         f" % {_BLOOM_M}"
     )
 
 
 def _bloom_pos_duck(j: int) -> str:
-    # DuckDB has no conv(); parse the 4 hex chars positionally
+    # DuckDB has no conv(); parse the w hex chars positionally
+    w = _bloom_width()
     return (
-        "CAST(list_sum(list_transform(generate_series(1, 4), c ->"
+        f"CAST(list_sum(list_transform(generate_series(1, {w}), c ->"
         " (strpos('0123456789abcdef',"
-        f" substring(h, {(j - 1) * 4} + CAST(c AS INTEGER), 1)) - 1)"
-        " << ((4 - CAST(c AS INTEGER)) * 4))) AS BIGINT)"
+        f" substring(h, {(j - 1) * w} + CAST(c AS INTEGER), 1)) - 1)"
+        f" << (({w} - CAST(c AS INTEGER)) * 4))) AS BIGINT)"
         f" % {_BLOOM_M}"
     )
 
