@@ -110,16 +110,25 @@ def _scan_partitions_estimate(spark: SparkSession, pages: DataFrame) -> int | No
     # (public explain() output; no _jdf) and defer to the caller.
     import contextlib
     import io
+    import re
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         pages.explain(mode="simple")
     plan_str = buf.getvalue()
-    if "Exchange" in plan_str or "Coalesce" in plan_str:
+    # Operator names only — anchored at the start of a tree line (after
+    # the +-/:/* drawing chars). A bare substring test would false-match
+    # inside the FileScan Location (an input path like
+    # /data/ExchangeRates/...) and silently disable the rebalance.
+    def _has_op(*ops: str) -> bool:
+        pat = r"(?m)^[\s:+*-]*(?:\(\d+\)\s*)?(?:" + "|".join(ops) + r")\b"
+        return re.search(pat, plan_str) is not None
+
+    if _has_op("Exchange", "Coalesce"):
         return None
 
     files = pages.inputFiles()
-    if not files or "Union" in plan_str:
+    if not files or _has_op("Union"):
         # Non-file input, or a multi-path union (CLI --input a --input b):
         # per-scan packing makes the greedy estimate under-count, but the
         # exact count is available driver-side (plan conversion, no job).

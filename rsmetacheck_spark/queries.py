@@ -2726,12 +2726,17 @@ def q35_salted_source_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("s").alias("sum_chars"),
         F.max("m").alias("max_chars"),
     )
+    # NULL lang excluded to match COUNT(DISTINCT lang) semantics (a
+    # groupBy would count NULL as a language); left join + coalesce so a
+    # source whose langs are ALL null still reports n_langs = 0
     langs = (
-        d.groupBy("source", "lang").agg(F.lit(1).alias("one"))
+        d.filter(F.col("lang").isNotNull())
+        .groupBy("source", "lang").agg(F.lit(1).alias("one"))
         .groupBy("source").agg(F.count("*").alias("n_langs"))
     )
-    return stats.join(langs, "source").select(
-        "source", "n_docs", "sum_chars", "max_chars", "n_langs"
+    return stats.join(langs, "source", "left").select(
+        "source", "n_docs", "sum_chars", "max_chars",
+        F.coalesce("n_langs", F.lit(0).cast("long")).alias("n_langs"),
     )
 
 
@@ -2798,8 +2803,11 @@ FROM cum GROUP BY source
 """
 
 
-_KM_K = 8        # clusters (= first k vec_ids as deterministic seeds)
+_KM_K = 8        # clusters (= k smallest vec_ids as deterministic seeds)
 _KM_SCALE = 1000  # fixed-point quantization for exact cross-engine sums
+_EMB_DIM = 64    # embeddings table dim (TESTDATA.md); the DuckDB oracle
+#                  iterates generate_series(1, dim) — a dim mismatch
+#                  fails the oracle compare loudly, it cannot pass silently
 
 
 def km01_kmeans_iteration(spark: SparkSession, sf: str) -> DataFrame:
@@ -2830,7 +2838,7 @@ def km01_kmeans_iteration(spark: SparkSession, sf: str) -> DataFrame:
     )
     e = _t(spark, sf, "embeddings").selectExpr("vec_id", f"{qexpr} AS qv")
     seeds = (
-        e.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+        e.orderBy("vec_id").limit(_KM_K).collect()
     )  # k rows, k*dim ints — the driver-held state of the k-means loop
     dists = ", ".join(
         "aggregate(zip_with(qv, array({lits}), (x, y) -> (x - y) * (x - y)),"
@@ -2839,9 +2847,11 @@ def km01_kmeans_iteration(spark: SparkSession, sf: str) -> DataFrame:
         )
         for row in seeds
     )
-    assigned = e.selectExpr(
-        "qv",
-        f"array_position(array({dists}), array_min(array({dists}))) - 1 AS cid",
+    # two projections: materialize the k-distance array ONCE, then argmin
+    # over the column — HOFs are codegen-fallback, so CSE of a duplicated
+    # dists expression inside array_position/array_min is not guaranteed
+    assigned = e.selectExpr("qv", f"array({dists}) AS dists").selectExpr(
+        "qv", "array_position(dists, array_min(dists)) - 1 AS cid"
     )
     return (
         assigned.select("cid", F.posexplode("qv").alias("dim0", "val"))
@@ -2863,10 +2873,14 @@ WITH e AS (
          list_transform(embedding::DOUBLE[],
            x -> CAST(floor(x * {_KM_SCALE} + 0.5) AS BIGINT)) AS qv
   FROM embeddings),
-cent AS (SELECT vec_id AS cid, qv AS cq FROM e WHERE vec_id < {_KM_K}),
+cent AS (
+  -- cid = the seed's 0-based rank, matching Spark's array index
+  -- (identical to vec_id only when ids happen to start at 0)
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cq
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {_KM_K})),
 scored AS (
   SELECT vec_id, qv, cid,
-         CAST(list_sum(list_transform(generate_series(1, 64),
+         CAST(list_sum(list_transform(generate_series(1, {_EMB_DIM}),
            i -> (qv[i] - cq[i]) * (qv[i] - cq[i]))) AS BIGINT) AS dist
   FROM e, cent),
 assigned AS (
@@ -2876,7 +2890,7 @@ assigned AS (
     FROM scored) WHERE rn = 1)
 SELECT cid AS cluster_id, CAST(i AS BIGINT) AS dim,
        COUNT(*) AS n_members, CAST(SUM(qv[i]) AS BIGINT) AS sum_q
-FROM assigned, generate_series(1, 64) AS g(i)
+FROM assigned, generate_series(1, {_EMB_DIM}) AS g(i)
 GROUP BY cid, i
 """
 

@@ -11,7 +11,7 @@ import duckdb
 import pytest
 
 from rsmetacheck_spark.queries import (
-    _BLOOM_K, _BLOOM_M, _KM_K, _KM_SCALE, _QBIN_W,
+    _BLOOM_K, _BLOOM_M, _KM_K, _KM_SCALE, _QBIN_W, _bloom_width,
     dd09_bloom_prefilter, km01_kmeans_iteration,
     q35_salted_source_stats, q36_binned_quantiles,
 )
@@ -37,8 +37,9 @@ def vecs():
 
 def _bloom_positions(text: str) -> set[int]:
     h = hashlib.md5(text.lower().strip().encode()).hexdigest()
+    w = _bloom_width()  # probe width follows _BLOOM_M, like the product code
     return {
-        int(h[j * 4:(j + 1) * 4], 16) % _BLOOM_M for j in range(_BLOOM_K)
+        int(h[j * w:(j + 1) * w], 16) % _BLOOM_M for j in range(_BLOOM_K)
     }
 
 
@@ -138,12 +139,30 @@ def test_km01_matches_lloyd_reference(spark, vecs):
 
 
 def test_km01_partition_invariance(spark):
-    # the one-shuffle plan must be partitioning-independent: same result
-    # from a repartitioned source through the same code path
+    # the one-shuffle plan must be partitioning-independent: rerun with
+    # the scan forced into many tiny splits and the shuffle fan-out
+    # changed, and require bit-identical results
     base = {
         (r.cluster_id, r.dim): (r.n_members, r.sum_q)
         for r in km01_kmeans_iteration(spark, SF).collect()
     }
+    saved = {
+        "spark.sql.files.maxPartitionBytes": spark.conf.get(
+            "spark.sql.files.maxPartitionBytes"),
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"),
+    }
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        repartitioned = {
+            (r.cluster_id, r.dim): (r.n_members, r.sum_q)
+            for r in km01_kmeans_iteration(spark, SF).collect()
+        }
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert repartitioned == base
     total = sum(n for (cid, dim), (n, _s) in base.items() if dim == 1)
     n_vecs = duckdb.sql(
         f"SELECT count(*) FROM read_parquet('{SF}/embeddings.parquet')"

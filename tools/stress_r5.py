@@ -112,7 +112,15 @@ def main() -> None:
             F.sum(F.col("is_fp").cast("long")).alias("fps"),
             F.sum(F.col("actual").cast("long")).alias("members"),
         ).collect()[0]
-        n_keys = agg["n"]  # existing side is the same size as incoming
+        # n for the analytic rate = DISTINCT keys actually inserted (the
+        # existing side has exact-duplicate groups, so its distinct md5
+        # count is below its row count)
+        n_keys = (
+            spark.read.parquet(os.path.join(sf, "documents.parquet"))
+            .filter("doc_id % 2 = 0")
+            .selectExpr("md5(lower(trim(text))) AS h")
+            .distinct().count()
+        )
         analytic = (1 - math.exp(-Q._BLOOM_K * n_keys / m_big)) ** Q._BLOOM_K
         denom = max(agg["n"] - agg["members"], 1)
         print(
