@@ -2895,6 +2895,142 @@ GROUP BY cid, i
 """
 
 
+_LC_M = 1024  # linear-counting buckets (test-scale; production m ~ max distinct)
+
+
+def dc01_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear probabilistic counting sketch for per-source distinct-text
+    cardinality — the mergeable one-pass alternative to COUNT(DISTINCT)
+    at 100 TB: each text hashes to one of m buckets (md5-derived, the
+    dd09 position convention); the per-source state is just the SET of
+    used buckets (≤ m bits, mergeable across partitions/snapshots), and
+    the estimate is m·ln(m/empty). Output stays EXACT-INTEGER — n_rows,
+    n_used buckets, and an exact n_distinct audit column — so the
+    cross-engine gate hashes integers; the float estimate is derived
+    downstream (docstring formula), keeping libm out of the oracle.
+
+    Scale shape: one groupBy(source, bucket) whose partial aggregation
+    caps every partition's output at sources × m rows regardless of
+    corpus size, then a bounded per-source count. The exact audit column
+    is test-scale only — at production it is dropped (it is the
+    COUNT(DISTINCT) the sketch replaces)."""
+    d = _t(spark, sf, "documents")
+    b = d.selectExpr(
+        "source",
+        "md5(lower(trim(text))) AS h",
+    ).selectExpr(
+        "source",
+        f"CAST(conv(substr(h, 1, 8), 16, 10) AS bigint) % {_LC_M} AS bucket",
+        "h",
+    )
+    used = (
+        b.groupBy("source", "bucket").agg(F.lit(1).alias("one"))
+        .groupBy("source").agg(F.count("*").alias("n_used"))
+    )
+    stats = b.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("h").alias("n_distinct"),
+    )
+    return stats.join(used, "source").select(
+        "source", "n_rows", "n_used", "n_distinct"
+    )
+
+
+def _sql_dc01() -> str:
+    hex2int = (
+        "CAST(list_sum(list_transform(generate_series(1, 8), j ->"
+        " CAST(strpos('0123456789abcdef', substring(h, CAST(j AS INTEGER), 1))"
+        " - 1 AS BIGINT) << ((8 - CAST(j AS INTEGER)) * 4))) AS BIGINT)"
+    )
+    return f"""
+WITH b AS (
+  SELECT source, md5(lower(trim(text))) AS h FROM documents),
+p AS (SELECT source, {hex2int} % {_LC_M} AS bucket, h FROM b),
+used AS (
+  SELECT source, COUNT(*) AS n_used
+  FROM (SELECT DISTINCT source, bucket FROM p) GROUP BY source)
+SELECT p.source, COUNT(*) AS n_rows, MAX(u.n_used) AS n_used,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct
+FROM p JOIN used u ON p.source = u.source
+GROUP BY p.source
+"""
+
+
+def q37_bigram_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Held-out bigram coverage scoring — the exact-integer core of an
+    n-gram LM quality filter: bigram counts are TRAINED on the even-
+    doc_id half of the corpus, then each odd (held-out) doc is scored by
+    its unseen-bigram fraction (OOV rate, micro-units) and the total
+    train-count mass its bigrams hit. Docs full of unseen bigrams are
+    the gibberish/perplexity-outlier candidates; the log-space LM that
+    R010 applies at filter time consumes exactly these count tables. All
+    integer arithmetic, so the cross-engine gate is exact (a log-score
+    variant would ride on libm's last-ulp behavior).
+
+    Scale shape: the count table is a bounded groupBy over train
+    bigrams (vocab-bounded output, partial-aggregated); scoring joins
+    held-out bigrams AGAINST it — at production vocabulary sizes that
+    table broadcasts (explicitly so here); per-doc re-agg combines
+    map-side (explode preserves doc locality). Top 50 worst-covered
+    docs returned with a total order."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    grams = (
+        d.selectExpr("doc_id", "doc_id % 2 = 0 AS is_train",
+                     f"{toks} AS t")
+        .filter("size(t) >= 2")
+        .selectExpr(
+            "doc_id", "is_train",
+            "explode(zip_with(slice(t, 1, size(t) - 1), slice(t, 2,"
+            " size(t) - 1), (a, b) -> concat(a, ' ', b))) AS bg",
+        )
+    )
+    counts = (
+        grams.filter("is_train").groupBy("bg")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        grams.filter("NOT is_train")
+        .join(F.broadcast(counts), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0)).alias("n_unseen"),
+            F.sum(F.coalesce("c", F.lit(0))).alias("train_mass"),
+        )
+        .selectExpr(
+            "doc_id", "n_bigrams", "n_unseen", "train_mass",
+            "CAST(n_unseen * 1000000 div n_bigrams AS bigint) AS oov_micro",
+        )
+        .orderBy(F.col("oov_micro").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+def _sql_q37() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, doc_id % 2 = 0 AS is_train, {t} AS t FROM documents),
+g AS (
+  SELECT doc_id, is_train,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM tk WHERE len(t) >= 2),
+counts AS (
+  SELECT bg, COUNT(*) AS c FROM g WHERE is_train GROUP BY bg)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+       CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS train_mass,
+       CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS oov_micro
+FROM g LEFT JOIN counts USING (bg)
+WHERE NOT is_train
+GROUP BY doc_id
+ORDER BY oov_micro DESC, doc_id ASC LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2957,6 +3093,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q35_salted_source_stats": (q35_salted_source_stats, SQL_Q35),
     "q36_binned_quantiles": (q36_binned_quantiles, SQL_Q36),
     "km01_kmeans_iteration": (km01_kmeans_iteration, SQL_KM01),
+    "dc01_distinct_sketch": (dc01_distinct_sketch, _sql_dc01()),
+    "q37_bigram_coverage": (q37_bigram_coverage, _sql_q37()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -2990,6 +3128,8 @@ _FRONT = [
     "q35_salted_source_stats",
     "q36_binned_quantiles",
     "km01_kmeans_iteration",
+    "dc01_distinct_sketch",
+    "q37_bigram_coverage",
     "ev07_license_rules",
     "q32_pack_assignments",
     "ev03_author_rules",
@@ -3027,6 +3167,8 @@ _BACK = [
     "q21b_median_grouped_udaf",
     "q22_rolling_hash",
     "q23_tfidf_terms",
+    "q24_bigram_pmi",
+    "q25_vocab_coverage",
 ]
 REGISTRY = {
     **{k: REGISTRY[k] for k in _FRONT},

@@ -165,3 +165,22 @@ def test_q36_single_corpus_shuffle(spark):
         if "Exchange hashpartitioning" in ln and "bin" in ln
     ]
     assert bin_exchanges, plan[:3000]
+
+
+def test_dc01_bounded_partials(spark):
+    """The sketch's corpus-reading aggregates must be map-side combined
+    (partial + final pairs) — the whole point is per-partition state
+    capped at sources x m."""
+    fn, _ = REGISTRY["dc01_distinct_sketch"]
+    plan = _plan(fn(spark, SF))
+    assert plan.count("HashAggregate") >= 4, plan[:3000]
+
+
+def test_q37_broadcasts_count_table(spark):
+    """Held-out scoring must join the (vocab-bounded) train count table
+    broadcast; the held-out bigram stream must not be sort-merge
+    joined."""
+    fn, _ = REGISTRY["q37_bigram_coverage"]
+    plan = _plan(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]

@@ -169,3 +169,66 @@ def test_km01_partition_invariance(spark):
     ).fetchone()[0]
     assert total == n_vecs  # every vector assigned exactly once
     assert len({cid for cid, _ in base}) <= _KM_K
+
+
+def test_dc01_matches_linear_counting_reference(spark, docs):
+    from rsmetacheck_spark.queries import _LC_M, dc01_distinct_sketch
+
+    expect: dict = {}
+    for _d, source, text, _l, _n in docs:
+        h = hashlib.md5(text.lower().strip().encode()).hexdigest()
+        bucket = int(h[:8], 16) % _LC_M
+        rows, buckets, md5s = expect.get(source, (0, set(), set()))
+        expect[source] = (rows + 1, buckets | {bucket}, md5s | {h})
+    got = {
+        r.source: (r.n_rows, r.n_used, r.n_distinct)
+        for r in dc01_distinct_sketch(spark, SF).collect()
+    }
+    assert got == {
+        s: (rows, len(buckets), len(md5s))
+        for s, (rows, buckets, md5s) in expect.items()
+    }
+    # the linear-counting estimate the sketch exists for: within 15% of
+    # the exact audit at this (m, n) — derived downstream per docstring
+    import math
+
+    for s, (rows, buckets, md5s) in expect.items():
+        empty = _LC_M - len(buckets)
+        assert empty > 0
+        est = _LC_M * math.log(_LC_M / empty)
+        assert abs(est - len(md5s)) <= max(0.15 * len(md5s), 3.0), (
+            s, est, len(md5s))
+
+
+def test_q37_matches_bigram_reference(spark, docs):
+    import re as _re
+
+    from rsmetacheck_spark.queries import q37_bigram_coverage
+
+    def toks(text):
+        return [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+    counts: dict = {}
+    for doc_id, _s, text, _l, _n in docs:
+        t = toks(text)
+        if doc_id % 2 == 0 and len(t) >= 2:
+            for a, b in zip(t, t[1:]):
+                counts[f"{a} {b}"] = counts.get(f"{a} {b}", 0) + 1
+    expect = {}
+    for doc_id, _s, text, _l, _n in docs:
+        t = toks(text)
+        if doc_id % 2 == 1 and len(t) >= 2:
+            bgs = [f"{a} {b}" for a, b in zip(t, t[1:])]
+            unseen = sum(1 for bg in bgs if bg not in counts)
+            mass = sum(counts.get(bg, 0) for bg in bgs)
+            expect[doc_id] = (
+                len(bgs), unseen, mass, unseen * 1_000_000 // len(bgs),
+            )
+    top = sorted(
+        expect.items(), key=lambda kv: (-kv[1][3], kv[0])
+    )[:50]
+    got = [
+        (r.doc_id, (r.n_bigrams, r.n_unseen, r.train_mass, r.oov_micro))
+        for r in q37_bigram_coverage(spark, SF).collect()
+    ]
+    assert got == top

@@ -86,6 +86,10 @@ def main() -> None:
           lambda: Q.q36_binned_quantiles(spark, sf).count())
     timed("km01_kmeans_iteration",
           lambda: Q.km01_kmeans_iteration(spark, sf).count())
+    timed("dc01_distinct_sketch",
+          lambda: Q.dc01_distinct_sketch(spark, sf).count())
+    timed("q37_bigram_coverage",
+          lambda: Q.q37_bigram_coverage(spark, sf).count())
 
     # dd09 at test-scale m: saturated filter (every probe bit set)
     t0 = time.time()
