@@ -2639,10 +2639,16 @@ def dd09_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
     ).selectExpr(
         "doc_id", "h", "is_new", f"array_distinct(array({probes})) AS pos"
     )
-    bits = (
-        docs.filter("NOT is_new")
-        .selectExpr("explode(pos) AS pos").distinct()
+    # the existing side feeds TWO consumers (the bit table and the
+    # membership audit) — checkpoint its (h, pos) projection once so the
+    # corpus text is scanned and md5'd a single time, the dd02 scratch-
+    # table pattern (key includes m: the stress tool re-runs under a
+    # module-level _BLOOM_M override and must not reuse stale positions)
+    ex = _checkpoint(
+        docs.filter("NOT is_new").select("h", "pos"),
+        "dd09_ex", key=f"dd09_ex:{_sfkey(sf)}:{_BLOOM_M}",
     )
+    bits = ex.selectExpr("explode(pos) AS pos").distinct()
     # single linear flow over the incoming side (one scan, h carried
     # through): explode -> broadcast join on pos -> per-doc re-agg.
     # Explode preserves doc locality, so partial aggregation combines
@@ -2655,7 +2661,7 @@ def dd09_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id", "h")
         .agg((F.count("*") == F.count("set1")).alias("bloom_hit"))
     )
-    existing_h = docs.filter("NOT is_new").select("h").distinct()
+    existing_h = ex.select("h").distinct()
     return (
         hits.join(
             F.broadcast(existing_h.withColumn("actual", F.lit(True))),
@@ -2898,6 +2904,18 @@ GROUP BY cid, i
 _LC_M = 1024  # linear-counting buckets (test-scale; production m ~ max distinct)
 
 
+def _lc_width() -> int:
+    """Hex chars of md5 used for the bucket: enough that the hash range
+    covers m (else buckets saturate below m and the estimate collapses
+    — the dd09 _bloom_width lesson), at least 8, at most md5's 32;
+    bigint arithmetic caps usable width at 15 chars (60 bits)."""
+    need = (max(_LC_M - 1, 1).bit_length() + 3) // 4
+    w = max(8, need)
+    if w > 15:
+        raise ValueError(f"_LC_M={_LC_M} needs {w} hex chars > bigint-safe 15")
+    return w
+
+
 def dc01_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
     """Linear probabilistic counting sketch for per-source distinct-text
     cardinality — the mergeable one-pass alternative to COUNT(DISTINCT)
@@ -2915,12 +2933,13 @@ def dc01_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
     is test-scale only — at production it is dropped (it is the
     COUNT(DISTINCT) the sketch replaces)."""
     d = _t(spark, sf, "documents")
+    w = _lc_width()
     b = d.selectExpr(
         "source",
         "md5(lower(trim(text))) AS h",
     ).selectExpr(
         "source",
-        f"CAST(conv(substr(h, 1, 8), 16, 10) AS bigint) % {_LC_M} AS bucket",
+        f"CAST(conv(substr(h, 1, {w}), 16, 10) AS bigint) % {_LC_M} AS bucket",
         "h",
     )
     used = (
@@ -2937,10 +2956,11 @@ def dc01_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_dc01() -> str:
+    w = _lc_width()
     hex2int = (
-        "CAST(list_sum(list_transform(generate_series(1, 8), j ->"
+        f"CAST(list_sum(list_transform(generate_series(1, {w}), j ->"
         " CAST(strpos('0123456789abcdef', substring(h, CAST(j AS INTEGER), 1))"
-        " - 1 AS BIGINT) << ((8 - CAST(j AS INTEGER)) * 4))) AS BIGINT)"
+        f" - 1 AS BIGINT) << (({w} - CAST(j AS INTEGER)) * 4))) AS BIGINT)"
     )
     return f"""
 WITH b AS (
@@ -2967,12 +2987,15 @@ def q37_bigram_coverage(spark: SparkSession, sf: str) -> DataFrame:
     integer arithmetic, so the cross-engine gate is exact (a log-score
     variant would ride on libm's last-ulp behavior).
 
-    Scale shape: the count table is a bounded groupBy over train
-    bigrams (vocab-bounded output, partial-aggregated); scoring joins
-    held-out bigrams AGAINST it — at production vocabulary sizes that
-    table broadcasts (explicitly so here); per-doc re-agg combines
-    map-side (explode preserves doc locality). Top 50 worst-covered
-    docs returned with a total order."""
+    Scale shape: the count table is a partial-aggregated groupBy over
+    train bigrams. Unlike a unigram vocab, DISTINCT BIGRAMS GROW
+    near-linearly with corpus tokens, so the explicit broadcast here is
+    a test/bench-scale choice — at 100 TB an LM count table is pruned
+    first (min-count cutoff or top-V, the standard n-gram practice;
+    counts below the cutoff score as unseen) and THEN broadcast, or the
+    join falls back to a shuffled hash join on bg. Per-doc re-agg
+    combines map-side (explode preserves doc locality). Top 50
+    worst-covered docs returned with a total order."""
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
     grams = (
@@ -3117,12 +3140,13 @@ REGISTRY.update(_st_registry())
 
 # The driver CORRECTNESS gate samples the first ~50 registry entries in
 # insertion order, so the tail never gets a driver row that round.
-# Round-5 rotation: front = the four round-5 additions (never sampled),
+# Round-5 rotation: front = the six round-5 additions (never sampled),
 # the ev03-ev07 family (skipped by the r4 cap; ev07 additionally changed
 # AFTER its last r3 driver sample — the P013 anchor fix), q32 (its
 # oracle changed this round: BIGINT casts), and the rest of the r4
-# unsampled tail. Back = 19 triple-driver-green (r2+r3+r4) entries whose
-# code is unchanged, so skipping them loses nothing.
+# unsampled tail. Back = 21 triple-driver-green (r2+r3+r4) entries whose
+# code is unchanged, so skipping them loses nothing (71 entries total;
+# the gate samples the first 50).
 _FRONT = [
     "dd09_bloom_prefilter",
     "q35_salted_source_stats",

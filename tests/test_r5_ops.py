@@ -80,7 +80,10 @@ def test_q35_matches_plain_reference(spark, docs):
     expect: dict = {}
     for _d, source, _t, lang, n_chars in docs:
         n, s, m, langs = expect.get(source, (0, 0, 0, set()))
-        expect[source] = (n + 1, s + n_chars, max(m, n_chars), langs | {lang})
+        # NULL lang is not a language — COUNT(DISTINCT lang) semantics,
+        # same as the operator and its oracle
+        new_langs = langs | ({lang} if lang is not None else set())
+        expect[source] = (n + 1, s + n_chars, max(m, n_chars), new_langs)
     got = {
         r.source: (r.n_docs, r.sum_chars, r.max_chars, r.n_langs)
         for r in q35_salted_source_stats(spark, SF).collect()

@@ -40,7 +40,9 @@ def build_corpus(spark, copies: int) -> str:
         .selectExpr(
             f"copy * {n} + doc_id AS doc_id",
             "concat('copy', copy, ' ', text) AS text",
-            "lang", "source", "n_chars + 8 AS n_chars",
+            "lang", "source",
+            # prefix = 'copy' + digits + ' ' = 5 + len(str(copy)) chars
+            "n_chars + 5 + length(CAST(copy AS STRING)) AS n_chars",
         )
         .repartition(32)
         .write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))

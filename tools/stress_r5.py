@@ -39,7 +39,10 @@ def build_corpus(spark, copies: int) -> str:
         .selectExpr(
             f"copy * {n} + doc_id AS doc_id",
             "concat('copy', copy, ' ', text) AS text",
-            "lang", "source", "n_chars + 8 AS n_chars",
+            "lang", "source",
+            # prefix is 'copy' + digits + ' ' = 5 + len(str(copy)) chars,
+            # keeping n_chars == length(text) like the real synth corpus
+            "n_chars + 5 + length(CAST(copy AS STRING)) AS n_chars",
         )
         .repartition(32)
         .write.mode("overwrite")
