@@ -34,11 +34,22 @@ def tokens(text: Column) -> Column:
 
 def shingles(col_name: str, n: int = SHINGLE_N) -> Column:
     """Distinct word n-grams as strings ([] for docs shorter than n —
-    Spark's sequence(1,0) is [1,0], never feed it to slice)."""
+    Spark's sequence(1,0) is [1,0], never feed it to slice).
+
+    Built as nested zip_with over n shifted slices: HOF lambdas are
+    interpreted, and a transform(sequence, i -> slice(t, i, n)) form
+    copies O(len) array elements per position (O(len²) per doc) — the
+    zip_with form's per-element work is O(1) concat (measured 4× on the
+    sf0.1 trigram build)."""
+    width = f"size({col_name}) - {n - 1}"
+    expr = f"slice({col_name}, {n}, {width})"
+    for j in range(n - 1, 0, -1):
+        expr = (
+            f"zip_with(slice({col_name}, {j}, {width}), {expr},"
+            f" (a{j}, b{j}) -> concat(a{j}, ' ', b{j}))"
+        )
     return F.expr(
-        f"CASE WHEN size({col_name}) >= {n} THEN"
-        f" array_distinct(transform(sequence(1, size({col_name}) - {n - 1}),"
-        f" i -> concat_ws(' ', slice({col_name}, i, {n}))))"
+        f"CASE WHEN size({col_name}) >= {n} THEN array_distinct({expr})"
         f" ELSE CAST(array() AS array<string>) END"
     )
 

@@ -446,9 +446,15 @@ def q11_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     # transform lambda would re-run the regex split once per n-gram element
     # (observed 10x slowdown at sf0.1)
     t = d.selectExpr(f"{toks} AS t")
+    # zip_with over shifted slices (O(1) per element), not
+    # transform+slice (O(n) copy per interpreted-lambda element) — the
+    # round-5 shingle-builder lesson; q11 keeps duplicates (no distinct)
     ng = (
-        "CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t) - 2),"
-        " i -> concat_ws(' ', slice(t, i, 3)))"
+        "CASE WHEN size(t) >= 3 THEN"
+        " zip_with(slice(t, 1, size(t) - 2),"
+        " zip_with(slice(t, 2, size(t) - 2), slice(t, 3, size(t) - 2),"
+        " (b, c) -> concat(b, ' ', c)),"
+        " (a, bc) -> concat(a, ' ', bc))"
         " ELSE CAST(array() AS array<string>) END"
     )
     return (
