@@ -184,3 +184,13 @@ def test_q37_broadcasts_count_table(spark):
     plan = _plan(fn(spark, SF))
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_sim07_map_only_encode_and_score(spark):
+    """PQ encode + ADC scoring must be map-only (codebook and ADC table
+    are literals): no join operator, no exchange beyond TakeOrdered's
+    final gather."""
+    fn, _ = REGISTRY["sim07_pq_adc_topk"]
+    plan = _plan(fn(spark, SF))
+    assert "Join" not in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]

@@ -235,3 +235,64 @@ def test_q37_matches_bigram_reference(spark, docs):
         for r in q37_bigram_coverage(spark, SF).collect()
     ]
     assert got == top
+
+
+def test_sim07_matches_pq_reference(spark, vecs):
+    from rsmetacheck_spark.queries import (
+        _PQ_KC, _PQ_SUB, sim07_pq_adc_topk,
+    )
+
+    qz = {vid: _quantize(v) for vid, v in vecs}
+    dim = len(next(iter(qz.values())))
+    sd = dim // _PQ_SUB
+    seeds = [qz[vid] for vid, _v in vecs[:_PQ_KC]]
+    book = [
+        [c[s * sd:(s + 1) * sd] for c in seeds] for s in range(_PQ_SUB)
+    ]
+
+    def sub_dist(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def encode(qv):
+        out = []
+        for s in range(_PQ_SUB):
+            sub = qv[s * sd:(s + 1) * sd]
+            ds = [sub_dist(sub, book[s][c]) for c in range(_PQ_KC)]
+            out.append(ds.index(min(ds)))  # first-min = lowest code
+        return out
+
+    q_id = vecs[0][0]  # query = smallest vec_id, like the operator
+    q = qz[q_id]
+    adc = [
+        [sub_dist(q[s * sd:(s + 1) * sd], book[s][c]) for c in range(_PQ_KC)]
+        for s in range(_PQ_SUB)
+    ]
+    scored = []
+    for vid, _v in vecs:
+        if vid == q_id:
+            continue
+        code = encode(qz[vid])
+        scored.append((
+            vid, "-".join(map(str, code)),
+            sum(adc[s][code[s]] for s in range(_PQ_SUB)),
+        ))
+    scored.sort(key=lambda t: (t[2], t[0]))
+    expect = scored[:10]
+    got = [
+        (r.vec_id, r.code_str, r.approx_dist)
+        for r in sim07_pq_adc_topk(spark, SF).collect()
+    ]
+    assert got == expect
+    # quality floor: PQ top-10 vs the EXACT fixed-point top-10. With an
+    # UNTRAINED codebook (16 arbitrary seed vectors) on unclustered
+    # synthetic embeddings at 64x compression, measured overlap is 4/10
+    # at sf0.001 — the point of this registry row is the exact
+    # cross-engine encode/ADC plumbing; production trains the codebook
+    # (sampled per-subspace k-means, the km01 loop) and rescores the
+    # shortlist exactly. Floor guards against total collapse only.
+    exact = sorted(
+        ((vid, sub_dist(qz[vid], q)) for vid, _v in vecs if vid != q_id),
+        key=lambda t: (t[1], t[0]),
+    )[:10]
+    overlap = {v for v, _ in exact} & {v for v, _c, _d in expect}
+    assert len(overlap) >= 3, (sorted(overlap), exact, expect)

@@ -93,6 +93,8 @@ def main() -> None:
           lambda: Q.dc01_distinct_sketch(spark, sf).count())
     timed("q37_bigram_coverage",
           lambda: Q.q37_bigram_coverage(spark, sf).count())
+    timed("sim07_pq_adc_topk",
+          lambda: Q.sim07_pq_adc_topk(spark, sf).count())
 
     # dd09 at test-scale m: saturated filter (every probe bit set)
     t0 = time.time()
