@@ -2502,15 +2502,18 @@ def sim05_ivf_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def sim06_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Scalar-quantized (int8) brute-force top-k: per-vector symmetric
-    max-abs quantization (scale = 127/max|x|, q = floor(x*scale + 0.5) ∈
-    [-127, 127]) and an INTEGER dot product between quantized query and
-    corpus — the 4×-smaller-storage / SIMD-integer path a 100 TB vector
-    store runs before exact rescoring. The floor(+0.5) form is used in
-    BOTH engines because round() half-way semantics differ cross-engine;
-    the integer dot is exactly reproducible, so it anchors the output
-    (the rescaled approximate cosine rides along, rounded)."""
+_SIM06_OVERSAMPLE = 4  # int8 screen keeps k*oversample candidates for rescore
+
+
+def _sim06_screen(spark: SparkSession, sf: str, k: int) -> DataFrame:
+    """int8 screening stage: per-vector symmetric max-abs quantization
+    (scale = 127/max|x|, q = floor(x*scale + 0.5) ∈ [-127, 127]) and an
+    INTEGER dot product between quantized query and corpus — the
+    4×-smaller-storage / SIMD-integer path a 100 TB vector store scans.
+    The floor(+0.5) form is used in BOTH engines because round() half-way
+    semantics differ cross-engine; the integer dot is exactly
+    reproducible, so it anchors the candidate ranking (the rescaled
+    approximate cosine rides along, rounded)."""
     e = _t(spark, sf, "embeddings").selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS double)) AS v"
     )
@@ -2535,6 +2538,38 @@ def sim06_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
             f"round(({idot}) / (sc * sq * nv * nq), 6) AS approx_cos",
         )
         .orderBy(F.col("approx_cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def sim06_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """int8 screen + EXACT rescore: the quantized integer-dot scan keeps
+    the top k·{oversample} candidates by approximate cosine, then ONLY
+    those candidates join back to the float vectors for an exact cosine,
+    which decides the final top-k order. Scale shape: the rescore join is
+    a broadcast of the ~k·oversample-row candidate set into the float
+    scan — the corpus is never sorted or shuffled a second time, and the
+    exact (double) math is paid for tens of rows, not the 100 TB store.
+    Quantization error is bounded per component, so any vector whose true
+    cosine would place it in the top k is screened in at modest
+    oversampling (see test_sim06_rescore_flips_int8_order for a planted
+    adversarial flip the rescore corrects)."""
+    cand = _sim06_screen(spark, sf, ANN_K * _SIM06_OVERSAMPLE)
+    e = _t(spark, sf, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS double)) AS v"
+    )
+    qf = e.filter(F.col("vec_id") == 0).selectExpr("v AS qv")
+    dot = "aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0 AS double), (acc, x) -> acc + x)"
+    nv = "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
+    nq = "sqrt(aggregate(transform(qv, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
+    return (
+        e.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qf))
+        .selectExpr(
+            "vec_id", "dot_q", "approx_cos",
+            f"round({dot} / ({nv} * {nq}), 6) AS exact_cos",
+        )
+        .orderBy(F.col("exact_cos").desc(), F.col("vec_id").asc())
         .limit(ANN_K)
     )
 
@@ -2547,14 +2582,21 @@ qz AS (
          sqrt(list_dot_product(v, v)) AS nv,
          list_transform(v, x -> CAST(floor(x * (127.0 / list_max(list_transform(v, y -> abs(y)))) + 0.5) AS BIGINT)) AS qv
   FROM e),
-q AS (SELECT qv AS qq, sc AS sq, nv AS nq FROM qz WHERE vec_id = 0)
-SELECT vec_id,
-       CAST(list_sum(list_transform(generate_series(1, 64),
-            i -> qv[i] * qq[i])) AS BIGINT) AS dot_q,
-       ROUND(list_sum(list_transform(generate_series(1, 64),
-            i -> qv[i] * qq[i])) / (sc * sq * nv * nq), 6) AS approx_cos
-FROM qz, q WHERE vec_id <> 0
-ORDER BY approx_cos DESC, vec_id ASC LIMIT {ANN_K}
+q AS (SELECT qv AS qq, sc AS sq, nv AS nq FROM qz WHERE vec_id = 0),
+scr AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> qv[i] * qq[i])) AS BIGINT) AS dot_q,
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+              i -> qv[i] * qq[i])) / (sc * sq * nv * nq), 6) AS approx_cos
+  FROM qz, q WHERE vec_id <> 0
+  ORDER BY approx_cos DESC, vec_id ASC LIMIT {ANN_K * _SIM06_OVERSAMPLE}),
+qf AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT scr.vec_id AS vec_id, dot_q, approx_cos,
+       ROUND(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS exact_cos
+FROM scr JOIN e ON scr.vec_id = e.vec_id, qf
+ORDER BY exact_cos DESC, scr.vec_id ASC LIMIT {ANN_K}
 """
 
 

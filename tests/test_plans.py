@@ -194,3 +194,15 @@ def test_sim07_map_only_encode_and_score(spark):
     plan = _plan(fn(spark, SF))
     assert "Join" not in plan, plan[:3000]
     assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_sim06_rescore_joins_candidates_broadcast(spark):
+    """The exact-rescore stage must join the float vectors against the
+    BROADCAST k*oversample candidate set only — no sort-merge join, no
+    second full-corpus sort (the final order is TakeOrdered over the
+    candidate rows)."""
+    fn, _ = REGISTRY["sim06_quantized_topk"]
+    plan = _plan(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]

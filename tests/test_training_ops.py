@@ -116,3 +116,55 @@ def test_q34_matches_python_re(spark, docs):
         for r in q34_bpe_token_stats(spark, SF).collect()
     }
     assert got == {k: v for k, v in expect.items() if v[2] > 0}
+
+
+def test_sim06_rescore_flips_int8_order(spark):
+    """Planted adversarial vector: 63 tiny components (0.003) that int8
+    max-abs quantization rounds to ZERO but that carry real cosine mass
+    against a query weighted 0.3 on those axes. The int8 screen therefore
+    ranks the adversarial vector BELOW a plain unit vector (identical
+    quantized codes; the adversary's slightly larger float norm lowers
+    its rescaled approx_cos); the exact rescore restores the true order.
+    Asserts the rescore stage actually re-decides the ordering rather
+    than echoing the screen."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rsmetacheck_spark.queries import ANN_K, _sim06_screen, sim06_quantized_topk
+
+    dim = 64
+    query = np.full(dim, 0.3)
+    query[0] = 1.0
+    plain = np.zeros(dim)          # vec 1: quantizes losslessly
+    plain[0] = 1.0
+    adv = np.full(dim, 0.003)      # vec 2: eps mass -> quantized to 0
+    adv[0] = 1.0
+    fillers = []                   # clearly-worse tail so top-k is full
+    for i in range(12):
+        f = np.zeros(dim)
+        f[2 + i] = -1.0            # cos < 0 against the query
+        fillers.append(f)
+    vecs = [query, plain, adv] + fillers
+    d = tempfile.mkdtemp(prefix="sim06_adv_sf_")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    screen = _sim06_screen(spark, d, ANN_K).collect()
+    rescored = sim06_quantized_topk(spark, d).collect()
+    # int8-only order: plain (1) first; exact rescore: adversary (2) first
+    assert screen[0].vec_id == 1, [(r.vec_id, r.approx_cos) for r in screen]
+    assert rescored[0].vec_id == 2, [(r.vec_id, r.exact_cos) for r in rescored]
+    assert rescored[1].vec_id == 1
+    ec = [r.exact_cos for r in rescored]
+    assert ec == sorted(ec, reverse=True)
