@@ -1053,7 +1053,14 @@ def dd03_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted shingle index
     (groupBy shingle -> co-occurring docs), not an all-pairs product.
     At scale the hot-shingle skew is bounded by dropping shingles with
-    document frequency > 100 (stopword-shingle guard)."""
+    document frequency > 100 (stopword-shingle guard). That guard is
+    SURFACED in the output: every pair row carries `n_hot_dropped`, the
+    count of distinct shingles the guard removed from the index — on a
+    template-heavy corpus (every shingle hot, e.g. the 200x stress
+    corpus) the pair set is empty BY DESIGN, and dd03_drop_stats()
+    reports the same counter plus how many docs it touched, so the
+    zero-result mode is observable rather than silent (dd02's banded
+    MinHash path is the operator that resolves such corpora)."""
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
     # materialize the inverted index (doc_id, shingle) ONCE to scratch
@@ -1080,6 +1087,10 @@ def dd03_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
     # shingles are distinct within a doc, so |shingle set| = index rows
     sizes = inv0.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # guard audit: how many distinct shingles the df>100 cap dropped —
+    # a 1-row aggregate broadcast onto every pair (costless: `hot` is
+    # already computed for the anti-join)
+    n_hot = hot.agg(F.count("*").alias("n_hot_dropped"))
     return (
         overlap
         .join(sizes.selectExpr("doc_id AS id_a", "n_sh AS n_a"), "id_a")
@@ -1089,6 +1100,31 @@ def dd03_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
             "round(inter * CAST(1.0 AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard",
         )
         .filter(F.col("jaccard") >= JACCARD_T)
+        .crossJoin(F.broadcast(n_hot))
+    )
+
+
+def dd03_drop_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Companion audit for dd03's hot-shingle guard, for the corpus where
+    the pair output itself is EMPTY (every shingle above the df cap —
+    boilerplate/template-heavy crawls): one row with the number of
+    distinct dropped shingles, the index rows they accounted for, and how
+    many documents lost at least one shingle. Same checkpointed inverted
+    index as dd03, so calling both prices one index build."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    inv0 = _checkpoint(
+        d.selectExpr("doc_id", f"{toks} AS t")
+        .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
+        .selectExpr("doc_id", "explode(sh) AS s"),
+        "dd03_inv", key=f"dd03_inv:{_sfkey(sf)}",
+    )
+    hot = inv0.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > 100)
+    dropped = inv0.join(F.broadcast(hot.select("s")), "s", "left_semi")
+    return dropped.agg(
+        F.countDistinct("s").alias("n_hot_dropped"),
+        F.count("*").alias("n_index_rows_dropped"),
+        F.countDistinct("doc_id").alias("n_docs_affected"),
     )
 
 
@@ -1098,14 +1134,17 @@ def _sql_dd03() -> str:
 WITH sh AS (SELECT doc_id, {_SHINGLES_DUCK.format(t=t)} AS sh FROM documents),
 inv0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
 freq AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) <= 100),
+hot AS (SELECT COUNT(*) AS n_hot_dropped
+        FROM (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) > 100)),
 inv AS (SELECT doc_id, s FROM inv0 JOIN freq USING (s)),
 overlap AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
 sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
-SELECT id_a, id_b, ROUND(inter * 1.0 / (na.n_sh + nb.n_sh - inter), 6) AS jaccard
-FROM overlap JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
+SELECT id_a, id_b, ROUND(inter * 1.0 / (na.n_sh + nb.n_sh - inter), 6) AS jaccard,
+       n_hot_dropped
+FROM overlap JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id, hot
 WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= {JACCARD_T}
 """
 
