@@ -95,12 +95,27 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _pin_cpus(cpus: int) -> None:
+    """Pin this process (and every child forked after — the Spark JVM,
+    its Python workers) to exactly `cpus` cores, the same discipline the
+    --scaling subprocesses get from taskset. Must run BEFORE the
+    SparkSession spawns the JVM. At cpus == host cores this is a no-op;
+    below it, it stops the JVM's GC/shuffle threads spilling onto idle
+    cores and inflating small-N rates."""
+    if hasattr(os, "sched_setaffinity"):
+        try:
+            os.sched_setaffinity(0, set(range(cpus)))
+        except (OSError, ValueError):
+            pass
+
+
 def single_run(
     cpus: int, sf_dir: str, n_docs: int, queries: bool = True,
-    warmup: bool = False, reps: int = 1,
+    warmup: bool = False, reps: int = 1, pinned_queries: bool = False,
 ) -> dict:
     from rsmetacheck_spark.session import get_spark
 
+    _pin_cpus(cpus)
     spark = get_spark(f"bench{cpus}", cores=cpus, shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
@@ -117,9 +132,21 @@ def single_run(
         key=lambda r: r["docs_per_sec"],
     )
     qtimes = run_queries(spark, sf_dir) if queries else {}
+    # pinned best-of-2 per query: the host shows up to 4x run-to-run
+    # drift (BENCH/BASELINE.md), so the single-shot `queries` pass alone
+    # can mask or fake a regression round-over-round. A second pass in
+    # the same pinned, fully-warm JVM and per-query min bounds the noise
+    # floor — this is the comparable number (vs BENCH/PINNED_BASELINE
+    # .json); the single-shot pass is kept for continuity with r1-r4.
+    if queries and pinned_queries:
+        second = run_queries(spark, sf_dir)
+        qpinned = {k: min(qtimes[k], second[k]) for k in qtimes}
+    else:
+        qpinned = {}
     total = round(time.time() - t0, 2)
     spark.stop()
-    return {"pipeline": pipe, "queries": qtimes, "total_sec": total}
+    return {"pipeline": pipe, "queries": qtimes,
+            "queries_pinned": qpinned, "total_sec": total}
 
 
 def scaling_subprocess(cpus: int, sf_dir: str, n_docs: int) -> dict:
@@ -193,6 +220,15 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--docs", type=int, default=0, help="pipeline docs (default: sf-scaled)")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument(
+        "--no-pinned", action="store_true",
+        help="skip the pinned best-of-2 query pass (halves query time)",
+    )
+    ap.add_argument(
+        "--write-pinned-baseline", action="store_true",
+        help="store this run's pinned query times as BENCH/PINNED_BASELINE"
+             ".json, the fixed comparison target for future rounds",
+    )
     args = ap.parse_args()
 
     sf = sf_of(args.sf_dir)
@@ -204,7 +240,10 @@ def main() -> None:
     # reps=2, best-of: this shared host shows up to 4x run-to-run drift
     # (frequency/page-cache interference measured on identical back-to-back
     # writes); the max over two timed runs bounds the noise floor
-    result = single_run(args.cpus, args.sf_dir, n_docs, warmup=True, reps=2)
+    result = single_run(
+        args.cpus, args.sf_dir, n_docs, warmup=True, reps=2,
+        pinned_queries=not args.no_pinned,
+    )
     out = {
         "metric": "total_bench_sec",
         "value": result["total_sec"],
@@ -214,6 +253,29 @@ def main() -> None:
         "pipeline": result["pipeline"],
         "cpus": args.cpus,
     }
+    if result["queries_pinned"]:
+        out["queries_pinned"] = result["queries_pinned"]
+        base_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH", "PINNED_BASELINE.json",
+        )
+        if args.write_pinned_baseline:
+            with open(base_path, "w") as fh:
+                json.dump({"sf": sf, "cpus": args.cpus,
+                           "queries": result["queries_pinned"]}, fh, indent=1)
+        if os.path.exists(base_path):
+            with open(base_path) as fh:
+                base = json.load(fh)
+            common = sorted(set(base["queries"]) & set(result["queries_pinned"]))
+            prev = sum(base["queries"][k] for k in common)
+            cur = sum(result["queries_pinned"][k] for k in common)
+            # comparable round-over-round signal: same discipline, same
+            # queries; >1.2x on this number is a real regression, not drift
+            out["pinned_common_sec"] = {"baseline": round(prev, 2),
+                                        "current": round(cur, 2)}
+            out["pinned_ratio_vs_baseline"] = (
+                round(cur / prev, 3) if prev else None
+            )
     if args.scaling:
         sdocs = int(os.environ.get('SPARK_GRAFT_SCALING_DOCS', 0)) or max(
             n_docs, 400_000

@@ -3303,6 +3303,136 @@ ORDER BY oov_micro DESC, doc_id ASC LIMIT 50
 
 
 # ---------------------------------------------------------------------------
+# Round-5: best-fit-decreasing bin packing (the packing a trainer ships)
+# ---------------------------------------------------------------------------
+
+
+def q38_binpack_bfd(spark: SparkSession, sf: str) -> DataFrame:
+    """Best-fit-decreasing (BFD) bin packing WITHOUT document splitting —
+    the real-packing complement to q32's concat-and-chunk stream: each
+    whole document is placed in a cap-token bin; docs sorted by
+    (n_tokens DESC, doc_id ASC), each placed into the fullest bin that
+    still fits (ties: lowest bin_id), else a new bin. Output per doc:
+    (bin_id, bin_off) within its (source, shard); docs longer than the
+    cap are routed out with bin_id = -1 (q32's chunking path handles
+    them); empty docs are excluded like q32.
+
+    Scale shape: packing is inherently sequential, so it runs as a
+    grouped applyInPandas over (source, shard) — the shard bounds each
+    Python group at ~_PACK_SHARD docs regardless of corpus size, so the
+    only shuffle is ONE hash exchange on the group key and no group ever
+    exceeds worker memory; 100 TB = more groups, not bigger ones. The
+    O(docs x bins) placement loop is bounded by the same shard constant.
+    Unlike q32, bins do NOT span shard boundaries (BFD has no stream to
+    keep contiguous), so shards are embarrassingly parallel. The DuckDB
+    oracle reconstructs the identical greedy order with a recursive CTE
+    (one placement per step, list-of-remaining-capacities as state) — a
+    genuinely independent second implementation of the same
+    deterministic algorithm."""
+    import pandas as pd
+
+    cap = _PACK_CAP
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    items = d.selectExpr(
+        "doc_id", "source", f"doc_id div {_PACK_SHARD} AS shard",
+        f"CAST(size({toks}) AS bigint) AS n_tokens",
+    ).filter("n_tokens > 0")
+    oversize = items.filter(F.col("n_tokens") > cap).selectExpr(
+        "doc_id", "source", "shard", "n_tokens",
+        "CAST(-1 AS bigint) AS bin_id", "CAST(-1 AS bigint) AS bin_off",
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        rem: list[int] = []
+        bin_id: list[int] = []
+        bin_off: list[int] = []
+        for nt in pdf["n_tokens"]:
+            best = -1
+            for j, r in enumerate(rem):
+                if r >= nt and (best < 0 or r < rem[best]):
+                    best = j
+            if best < 0:
+                bin_id.append(len(rem))
+                bin_off.append(0)
+                rem.append(cap - nt)
+            else:
+                bin_id.append(best)
+                bin_off.append(cap - rem[best])
+                rem[best] -= nt
+        pdf["bin_id"] = pd.Series(bin_id, dtype="int64")
+        pdf["bin_off"] = pd.Series(bin_off, dtype="int64")
+        return pdf[["doc_id", "source", "shard", "n_tokens", "bin_id", "bin_off"]]
+
+    packed = items.filter(F.col("n_tokens") <= cap).groupBy(
+        "source", "shard"
+    ).applyInPandas(
+        pack,
+        "doc_id long, source string, shard long, n_tokens long, "
+        "bin_id long, bin_off long",
+    )
+    return packed.unionByName(oversize)
+
+
+def _sql_q38() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    cap = _PACK_CAP
+    # the chosen bin: among bins with remaining >= item size, minimum
+    # (remaining, index) — struct list_sort orders field-by-field, so
+    # element [1] is the best fit with ties to the lowest bin_id
+    choice = (
+        "list_sort(list_filter(list_transform("
+        "generate_series(1, len(r.rem)), j -> {'c': r.rem[j], 'j': j}),"
+        " s -> s.c >= it.n_tokens))[1].j"
+    )
+    return f"""
+WITH RECURSIVE
+n AS (SELECT doc_id, source, doc_id // {_PACK_SHARD} AS shard,
+             CAST(len({t}) AS BIGINT) AS n_tokens FROM documents),
+it AS (SELECT doc_id, source, shard, n_tokens,
+              ROW_NUMBER() OVER (PARTITION BY source, shard
+                                 ORDER BY n_tokens DESC, doc_id ASC) AS rk
+       FROM n WHERE n_tokens > 0 AND n_tokens <= {cap}),
+grp AS (SELECT source, shard, MAX(rk) AS n_items FROM it GROUP BY 1, 2),
+rec AS (
+  SELECT source, shard, 0 AS i,
+         CAST([] AS BIGINT[]) AS rem,
+         CAST([] AS STRUCT(doc_id BIGINT, n_tokens BIGINT,
+                           bin_id BIGINT, bin_off BIGINT)[]) AS asg
+  FROM grp
+  UNION ALL
+  SELECT source, shard, i + 1,
+         CASE WHEN ch IS NULL THEN list_append(rem, {cap} - n_tokens)
+              ELSE list_transform(generate_series(1, len(rem)),
+                   k -> CASE WHEN k = ch THEN rem[k] - n_tokens
+                        ELSE rem[k] END) END,
+         list_append(asg, CASE WHEN ch IS NULL
+              THEN {{'doc_id': doc_id, 'n_tokens': n_tokens,
+                     'bin_id': CAST(len(rem) AS BIGINT),
+                     'bin_off': CAST(0 AS BIGINT)}}
+              ELSE {{'doc_id': doc_id, 'n_tokens': n_tokens,
+                     'bin_id': CAST(ch - 1 AS BIGINT),
+                     'bin_off': CAST({cap} - rem[ch] AS BIGINT)}} END)
+  FROM (SELECT r.source, r.shard, r.i, r.rem, r.asg,
+               it.doc_id, it.n_tokens, {choice} AS ch
+        FROM rec r JOIN it ON it.source = r.source
+             AND it.shard = r.shard AND it.rk = r.i + 1)),
+fin AS (SELECT r.source, r.shard, r.asg
+        FROM rec r JOIN grp g ON r.source = g.source
+             AND r.shard = g.shard AND r.i = g.n_items),
+flat AS (SELECT source, shard, unnest(asg, recursive := true) FROM fin)
+SELECT doc_id, source, shard, n_tokens, bin_id, bin_off FROM flat
+UNION ALL
+SELECT doc_id, source, shard, n_tokens,
+       CAST(-1 AS BIGINT) AS bin_id, CAST(-1 AS BIGINT) AS bin_off
+FROM n WHERE n_tokens > {cap}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3367,6 +3497,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dc01_distinct_sketch": (dc01_distinct_sketch, _sql_dc01()),
     "q37_bigram_coverage": (q37_bigram_coverage, _sql_q37()),
     "sim07_pq_adc_topk": (sim07_pq_adc_topk, _sql_sim07()),
+    "q38_binpack_bfd": (q38_binpack_bfd, _sql_q38()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -3398,6 +3529,8 @@ REGISTRY.update(_st_registry())
 # whose code is unchanged, so skipping them loses nothing (71 entries
 # total; the gate samples the first 50).
 _FRONT = [
+    "q38_binpack_bfd",
+    "sim06_quantized_topk",
     "dd09_bloom_prefilter",
     "q35_salted_source_stats",
     "q36_binned_quantiles",

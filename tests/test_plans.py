@@ -206,3 +206,14 @@ def test_sim06_rescore_joins_candidates_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
     assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_q38_single_group_exchange(spark):
+    """BFD packing must pay exactly ONE hash exchange (the (source,
+    shard) grouping feeding the Arrow grouped-map stage); the oversize
+    routing branch is map-only off the same scan."""
+    fn, _ = REGISTRY["q38_binpack_bfd"]
+    plan = _plan(fn(spark, SF))
+    assert "FlatMapGroupsInPandas" in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]

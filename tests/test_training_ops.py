@@ -168,3 +168,67 @@ def test_sim06_rescore_flips_int8_order(spark):
     assert rescored[1].vec_id == 1
     ec = [r.exact_cos for r in rescored]
     assert ec == sorted(ec, reverse=True)
+
+
+def test_q38_matches_bfd_reference(spark, docs):
+    """BFD recomputed a third way (plain Python over the raw parquet)."""
+    from rsmetacheck_spark.queries import _PACK_CAP, _PACK_SHARD, q38_binpack_bfd
+
+    groups: dict = {}
+    for doc_id, source, text in docs:
+        n = len(_tokens(text))
+        if n > 0:
+            groups.setdefault((source, doc_id // _PACK_SHARD), []).append(
+                (n, doc_id)
+            )
+    expect = {}
+    for _key, its in groups.items():
+        rem: list = []
+        for n, doc_id in sorted(its, key=lambda t: (-t[0], t[1])):
+            if n > _PACK_CAP:
+                expect[doc_id] = (n, -1, -1)
+                continue
+            fits = [(r, j) for j, r in enumerate(rem) if r >= n]
+            if not fits:
+                expect[doc_id] = (n, len(rem), 0)
+                rem.append(_PACK_CAP - n)
+            else:
+                _, j = min(fits)
+                expect[doc_id] = (n, j, _PACK_CAP - rem[j])
+                rem[j] -= n
+    got = {
+        r.doc_id: (r.n_tokens, r.bin_id, r.bin_off)
+        for r in q38_binpack_bfd(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_q38_bins_are_valid_and_tight(spark):
+    """Structural packing invariants: bins never exceed the cap, doc
+    intervals within a bin are disjoint and contiguous-from-zero, and
+    BFD stays within the ceil(total/cap) lower bound x2 (BFD's
+    asymptotic guarantee is 11/9 OPT + 4)."""
+    import math
+
+    from rsmetacheck_spark.queries import _PACK_CAP, q38_binpack_bfd
+
+    rows = [r for r in q38_binpack_bfd(spark, SF).collect() if r.bin_id >= 0]
+    bins: dict = {}
+    for r in rows:
+        bins.setdefault((r.source, r.shard, r.bin_id), []).append(
+            (r.bin_off, r.n_tokens)
+        )
+    group_tokens: dict = {}
+    group_bins: dict = {}
+    for (source, shard, bin_id), items in bins.items():
+        items.sort()
+        used = 0
+        for off, nt in items:
+            assert off == used, (source, shard, bin_id, items)
+            used += nt
+        assert used <= _PACK_CAP
+        group_tokens[(source, shard)] = group_tokens.get((source, shard), 0) + used
+        group_bins[(source, shard)] = group_bins.get((source, shard), 0) + 1
+    for key, total in group_tokens.items():
+        lower = math.ceil(total / _PACK_CAP)
+        assert lower <= group_bins[key] <= 2 * lower, (key, total, group_bins[key])
