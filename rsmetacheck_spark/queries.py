@@ -3433,6 +3433,133 @@ FROM n WHERE n_tokens > {cap}
 
 
 # ---------------------------------------------------------------------------
+# Round-5: cross-document duplicate-span coverage (exact-substring dedup
+# signal — what fraction of each doc is covered by 8-gram spans that also
+# occur in at least one OTHER document)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8  # tokens per span gram
+
+
+def dd10_span_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-SPAN coverage per document: every {W}-token gram whose
+    distinct-document frequency is >= 2 marks the interval
+    [start, start+W) as duplicated; overlapping intervals are merged
+    (gaps-and-islands) and the union length is reported as an exact
+    integer micro-fraction of the doc. This is the per-document signal
+    exact-substring deduplication ranks on (the ~50-token span dedup of
+    the public training-data literature, at token granularity) — docs
+    with high coverage are boilerplate/mirror candidates that
+    doc-level MinHash misses when the rest of the doc differs.
+
+    Scale shape: gram building is map-side (explode + slice, md5 only
+    crosses stages); the df count is a map-side-combined groupBy on the
+    gram hash after a per-doc distinct; the shared-gram set flows back
+    as a semi join keyed on the gram hash (equi-join — never all-pairs);
+    island merging is one window per doc_id over only the SHARED starts
+    (a small subset), and the final per-doc agg reuses that exchange.
+    Intra-doc repeats don't count (df is distinct-doc), so a doc can't
+    mark itself duplicated."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    starts = (
+        d.selectExpr("doc_id", f"{toks} AS t")
+        .filter(f"size(t) >= {_SPAN_W}")
+        .selectExpr(
+            "doc_id", "size(t) AS n_tokens", "t",
+            f"explode(sequence(1, size(t) - {_SPAN_W} + 1)) AS s",
+        )
+        .selectExpr(
+            "doc_id", "n_tokens", "s",
+            f"md5(array_join(slice(t, s, {_SPAN_W}), ' ')) AS g",
+        )
+    )
+    shared = (
+        starts.select("doc_id", "g").distinct()
+        .groupBy("g").agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    hits = starts.join(shared, "g", "left_semi")
+    w_prev = Window.partitionBy("doc_id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("s")
+    islands = (
+        hits.withColumn("prev_end", F.max(F.col("s") + _SPAN_W - 1).over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("s") > F.col("prev_end")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+        .groupBy("doc_id", "n_tokens", "island")
+        .agg(
+            (F.max(F.col("s") + _SPAN_W - 1) - F.min("s") + 1).alias("cov"),
+            F.count("*").alias("n_starts"),
+        )
+    )
+    return (
+        islands.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.sum("cov").alias("covered_tokens"),
+            F.sum("n_starts").alias("n_shared_grams"),
+        )
+        .selectExpr(
+            "doc_id", "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "CAST(covered_tokens AS BIGINT) AS covered_tokens",
+            "CAST(n_shared_grams AS BIGINT) AS n_shared_grams",
+            "covered_tokens * 1000000 div n_tokens AS dup_cov_micro",
+        )
+        .orderBy(F.col("dup_cov_micro").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+def _sql_dd10() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    w = _SPAN_W
+    return f"""
+WITH tk AS (SELECT doc_id, {t} AS t FROM documents),
+starts AS (
+  SELECT doc_id, len(t) AS n_tokens, CAST(i AS BIGINT) AS s,
+         md5(array_to_string(t[i : i + {w} - 1], ' ')) AS g
+  FROM tk, unnest(generate_series(1, len(t) - {w} + 1)) AS u(i)
+  WHERE len(t) >= {w}),
+shared AS (
+  SELECT g FROM (SELECT DISTINCT doc_id, g FROM starts)
+  GROUP BY g HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, n_tokens, s FROM starts JOIN shared USING (g)),
+isl AS (
+  SELECT doc_id, n_tokens, s,
+         CASE WHEN max_prev_end IS NULL OR s > max_prev_end THEN 1 ELSE 0 END
+           AS new_island
+  FROM (SELECT doc_id, n_tokens, s,
+               MAX(s + {w} - 1) OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS max_prev_end
+        FROM hits)),
+grp AS (
+  SELECT doc_id, n_tokens, s,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl),
+cov AS (
+  SELECT doc_id, n_tokens, island,
+         MAX(s + {w} - 1) - MIN(s) + 1 AS cov, COUNT(*) AS n_starts
+  FROM grp GROUP BY doc_id, n_tokens, island)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(SUM(cov) AS BIGINT) AS covered_tokens,
+       CAST(SUM(n_starts) AS BIGINT) AS n_shared_grams,
+       CAST(SUM(cov) * 1000000 // n_tokens AS BIGINT) AS dup_cov_micro
+FROM cov GROUP BY doc_id, n_tokens
+ORDER BY dup_cov_micro DESC, doc_id ASC LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3498,6 +3625,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q37_bigram_coverage": (q37_bigram_coverage, _sql_q37()),
     "sim07_pq_adc_topk": (sim07_pq_adc_topk, _sql_sim07()),
     "q38_binpack_bfd": (q38_binpack_bfd, _sql_q38()),
+    "dd10_span_coverage": (dd10_span_coverage, _sql_dd10()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -3530,6 +3658,7 @@ REGISTRY.update(_st_registry())
 # total; the gate samples the first 50).
 _FRONT = [
     "q38_binpack_bfd",
+    "dd10_span_coverage",
     "sim06_quantized_topk",
     "dd09_bloom_prefilter",
     "q35_salted_source_stats",

@@ -232,3 +232,44 @@ def test_q38_bins_are_valid_and_tight(spark):
     for key, total in group_tokens.items():
         lower = math.ceil(total / _PACK_CAP)
         assert lower <= group_bins[key] <= 2 * lower, (key, total, group_bins[key])
+
+
+def test_dd10_matches_span_reference(spark, docs):
+    """Duplicate-span coverage recomputed a third way: plain-Python gram
+    df + interval union over the raw parquet."""
+    from rsmetacheck_spark.queries import _SPAN_W, dd10_span_coverage
+
+    grams: dict = {}
+    doc_starts: dict = {}
+    for doc_id, _source, text in docs:
+        t = _tokens(text)
+        if len(t) < _SPAN_W:
+            continue
+        starts = {}
+        for s in range(len(t) - _SPAN_W + 1):
+            g = " ".join(t[s:s + _SPAN_W])
+            starts[s] = g
+            grams.setdefault(g, set()).add(doc_id)
+        doc_starts[doc_id] = (len(t), starts)
+    expect = {}
+    for doc_id, (n, starts) in doc_starts.items():
+        hit = sorted(s for s, g in starts.items() if len(grams[g]) >= 2)
+        if not hit:
+            continue
+        covered, n_sh = 0, len(hit)
+        cur_start, cur_end = hit[0], hit[0] + _SPAN_W - 1
+        for s in hit[1:]:
+            if s > cur_end:
+                covered += cur_end - cur_start + 1
+                cur_start, cur_end = s, s + _SPAN_W - 1
+            else:
+                cur_end = max(cur_end, s + _SPAN_W - 1)
+        covered += cur_end - cur_start + 1
+        expect[doc_id] = (n, covered, n_sh, covered * 1000000 // n)
+    top = sorted(expect.items(), key=lambda kv: (-kv[1][3], kv[0]))[:50]
+    got = [
+        (r.doc_id, (r.n_tokens, r.covered_tokens, r.n_shared_grams,
+                    r.dup_cov_micro))
+        for r in dd10_span_coverage(spark, SF).collect()
+    ]
+    assert got == top
