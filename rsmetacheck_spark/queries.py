@@ -3560,6 +3560,221 @@ ORDER BY dup_cov_micro DESC, doc_id ASC LIMIT 50
 
 
 # ---------------------------------------------------------------------------
+# Round-5: corpus-level keep-first line deduplication (the C4-style
+# preprocessing op: each "line" survives only at its first occurrence
+# corpus-wide) and a count-min-sketch heavy-hitter estimator
+# ---------------------------------------------------------------------------
+
+_LINE_W = 8  # tokens per line-proxy chunk (synth text has no newlines)
+
+
+def dd11_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level keep-first line dedup (the C4 preprocessing rule:
+    every three-sentence-ish unit is kept only at its FIRST occurrence
+    across the whole corpus, all later copies dropped). Synth text has
+    no newlines, so the line proxy is non-overlapping {W}-token chunks;
+    the keep policy is global-first by (doc_id, chunk_index). Output is
+    the per-document retention ledger — how many lines/tokens survive —
+    plus an md5 of the surviving text in order, the byte-level evidence
+    a scrub/dedup stage must reproduce.
+
+    Scale shape: chunking is map-side (explode of non-overlapping
+    starts — O(n_tokens / W) rows per doc, ~8x fewer than dd10's
+    sliding grams); the keep-first decision is ONE row_number window
+    hash-partitioned on the chunk hash (no self-join, no all-pairs);
+    the per-doc ledger re-agg combines map-side. A viral boilerplate
+    line concentrates its copies in one hash partition — bounded by the
+    duplicate structure itself, and the dd03-style DF cap applies
+    unchanged if a corpus needs it."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    w = _LINE_W
+    chunks = (
+        d.selectExpr("doc_id", f"{toks} AS t")
+        .filter("size(t) >= 1")
+        .selectExpr(
+            "doc_id", "size(t) AS n_tokens", "t",
+            f"explode(sequence(0, (size(t) - 1) div {w})) AS li",
+        )
+        .selectExpr(
+            "doc_id", "n_tokens", "li",
+            f"array_join(slice(t, li * {w} + 1, {w}), ' ') AS chunk",
+            f"least({w}, n_tokens - li * {w}) AS ctoks",
+        )
+        .withColumn("h", F.md5("chunk"))
+    )
+    wk = Window.partitionBy("h").orderBy("doc_id", "li")
+    kept = chunks.withColumn(
+        "keep", F.when(F.row_number().over(wk) == 1, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        kept.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("keep").alias("n_kept"),
+            F.sum(F.col("keep") * F.col("ctoks")).alias("kept_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("keep") == 1,
+                                    F.struct(F.col("li"), F.col("chunk")),
+                                )
+                            )
+                        ),
+                        lambda x: x["chunk"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "CAST(n_lines AS BIGINT) AS n_lines",
+            "CAST(n_kept AS BIGINT) AS n_kept",
+            "CAST(kept_tokens AS BIGINT) AS kept_tokens",
+            "kept_md5",
+        )
+    )
+
+
+def _sql_dd11() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    w = _LINE_W
+    return f"""
+WITH tk AS (SELECT doc_id, {t} AS t FROM documents),
+ch AS (
+  SELECT doc_id, len(t) AS n_tokens, CAST(li AS BIGINT) AS li,
+         array_to_string(t[li * {w} + 1 : li * {w} + {w}], ' ') AS chunk,
+         least({w}, len(t) - li * {w}) AS ctoks
+  FROM tk, unnest(generate_series(0, (len(t) - 1) // {w})) AS u(li)
+  WHERE len(t) >= 1),
+k AS (
+  SELECT doc_id, n_tokens, li, chunk, ctoks,
+         CASE WHEN row_number() OVER (PARTITION BY md5(chunk)
+           ORDER BY doc_id, li) = 1 THEN 1 ELSE 0 END AS keep
+  FROM ch)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(keep * ctoks) AS BIGINT) AS kept_tokens,
+       md5(coalesce(string_agg(CASE WHEN keep = 1 THEN chunk END, ' '
+         ORDER BY li), '')) AS kept_md5
+FROM k GROUP BY doc_id, n_tokens
+"""
+
+
+_CMS_D = 4    # sketch rows (independent hash slices of one md5)
+_CMS_W = 256  # buckets per row; 16^4 % 256 == 0 so the fold is uniform
+
+
+def _cms_pos_spark(r: int) -> str:
+    return (
+        f"CAST(conv(substr(h, {r * 4 + 1}, 4), 16, 10) AS BIGINT) % {_CMS_W}"
+    )
+
+
+def _cms_pos_duck(r: int) -> str:
+    # DuckDB has no conv(); parse the 4 hex chars positionally
+    return (
+        "CAST(list_sum(list_transform(generate_series(1, 4), c ->"
+        " (strpos('0123456789abcdef',"
+        f" substring(h, {r * 4} + CAST(c AS INTEGER), 1)) - 1)"
+        " << ((4 - CAST(c AS INTEGER)) * 4))) AS BIGINT)"
+        f" % {_CMS_W}"
+    )
+
+
+def hh01_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over corpus bigrams: a {D}x{W}
+    integer sketch (bucket b of row r sums the counts of every bigram
+    whose r-th md5 slice folds to b), point-queried for the top-20
+    exact-count bigrams so the overcount the sketch would report is
+    visible next to ground truth. The sketch is THE mergeable shape for
+    frequency estimation at 100 TB: per-partition sketches are {D}*{W}
+    longs regardless of vocabulary, merge is elementwise +, and the
+    here-materialized bucket table (<= {D}*{W} rows) broadcasts for
+    free to any estimator join. Exact counts ride along only because
+    this corpus is small enough to afford ground truth.
+
+    Scale shape: bigram counting is one map-side-combined groupBy; the
+    bucket table is a second bounded groupBy over ({D} x count-rows)
+    melted positions; the estimate join broadcasts the tiny sketch. All
+    integer arithmetic, so the cross-engine gate is exact."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    tc = (
+        d.selectExpr(f"{toks} AS t")
+        .filter("size(t) >= 2")
+        .selectExpr(
+            "explode(zip_with(slice(t, 1, size(t) - 1),"
+            " slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))) AS bg"
+        )
+        .groupBy("bg")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.md5("bg"))
+    )
+    rp = ", ".join(
+        f"struct(CAST({r} AS INT) AS r, {_cms_pos_spark(r)} AS pos)"
+        for r in range(_CMS_D)
+    )
+    bsum = (
+        tc.selectExpr("cnt", f"explode(array({rp})) AS rp")
+        .selectExpr("rp.r AS r", "rp.pos AS pos", "cnt")
+        .groupBy("r", "pos")
+        .agg(F.sum("cnt").alias("bsum"))
+    )
+    top = tc.orderBy(F.desc("cnt"), F.asc("bg")).limit(20)
+    return (
+        top.selectExpr("bg", "cnt", f"explode(array({rp})) AS rp")
+        .selectExpr("bg", "cnt", "rp.r AS r", "rp.pos AS pos")
+        .join(F.broadcast(bsum), ["r", "pos"])
+        .groupBy("bg", "cnt")
+        .agg(F.min("bsum").alias("cms_est"))
+        .selectExpr(
+            "bg",
+            "CAST(cnt AS BIGINT) AS exact_cnt",
+            "CAST(cms_est AS BIGINT) AS cms_est",
+            "CAST(cms_est - cnt AS BIGINT) AS overcount",
+        )
+    )
+
+
+def _sql_hh01() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    melt = " UNION ALL ".join(
+        f"SELECT cnt, {r} AS r, {_cms_pos_duck(r)} AS pos FROM tc"
+        for r in range(_CMS_D)
+    )
+    tmelt = " UNION ALL ".join(
+        f"SELECT bg, cnt, {r} AS r, {_cms_pos_duck(r)} AS pos FROM top"
+        for r in range(_CMS_D)
+    )
+    return f"""
+WITH tk AS (SELECT {t} AS t FROM documents),
+bgs AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM tk WHERE len(t) >= 2),
+tc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt, md5(bg) AS h
+       FROM bgs GROUP BY bg),
+melt AS ({melt}),
+bsum AS (SELECT r, pos, CAST(SUM(cnt) AS BIGINT) AS bsum
+         FROM melt GROUP BY r, pos),
+top AS (SELECT bg, cnt, h FROM tc ORDER BY cnt DESC, bg ASC LIMIT 20),
+tmelt AS ({tmelt})
+SELECT bg, CAST(cnt AS BIGINT) AS exact_cnt,
+       CAST(MIN(bsum) AS BIGINT) AS cms_est,
+       CAST(MIN(bsum) - cnt AS BIGINT) AS overcount
+FROM tmelt JOIN bsum USING (r, pos)
+GROUP BY bg, cnt
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3626,6 +3841,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sim07_pq_adc_topk": (sim07_pq_adc_topk, _sql_sim07()),
     "q38_binpack_bfd": (q38_binpack_bfd, _sql_q38()),
     "dd10_span_coverage": (dd10_span_coverage, _sql_dd10()),
+    "dd11_line_dedup": (dd11_line_dedup, _sql_dd11()),
+    "hh01_cms_heavy_hitters": (hh01_cms_heavy_hitters, _sql_hh01()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -3648,15 +3865,17 @@ REGISTRY.update(_st_registry())
 
 # The driver CORRECTNESS gate samples the first ~50 registry entries in
 # insertion order, so the tail never gets a driver row that round.
-# Round-5 rotation: front = the six round-5 additions (never sampled),
+# Round-5 rotation: front = the round-5 additions (never sampled),
 # the ev03-ev07 family (skipped by the r4 cap; ev07 additionally changed
 # AFTER its last r3 driver sample — the P013 anchor fix), q32 (its
 # oracle changed this round: BIGINT casts), the rest of the r4
 # unsampled tail, and dd02/dd03/q27 (recompiled by the round-5 shingle
-# zip_with rewrite). Back = 21 triple-driver-green (r2+r3+r4) entries
-# whose code is unchanged, so skipping them loses nothing (71 entries
+# zip_with rewrite). Back = 22 triple-driver-green (r2+r3+r4) entries
+# whose code is unchanged, so skipping them loses nothing (76 entries
 # total; the gate samples the first 50).
 _FRONT = [
+    "dd11_line_dedup",
+    "hh01_cms_heavy_hitters",
     "q38_binpack_bfd",
     "dd10_span_coverage",
     "sim06_quantized_topk",

@@ -296,3 +296,95 @@ def test_sim07_matches_pq_reference(spark, vecs):
     )[:10]
     overlap = {v for v, _ in exact} & {v for v, _c, _d in expect}
     assert len(overlap) >= 3, (sorted(overlap), exact, expect)
+
+
+def _toks(text: str) -> list[str]:
+    import re
+
+    return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+
+
+def test_dd11_matches_keep_first_reference(spark, docs):
+    from rsmetacheck_spark.queries import _LINE_W, dd11_line_dedup
+
+    w = _LINE_W
+    seen: set[str] = set()
+    expect = {}
+    for doc_id, _s, text, _l, _n in sorted(docs):  # doc_id order = keep order
+        t = _toks(text)
+        if not t:
+            continue
+        n_lines = n_kept = kept_tokens = 0
+        kept_chunks = []
+        for li in range(0, (len(t) - 1) // w + 1):
+            chunk = " ".join(t[li * w:li * w + w])
+            h = hashlib.md5(chunk.encode()).hexdigest()
+            n_lines += 1
+            if h not in seen:
+                seen.add(h)
+                n_kept += 1
+                kept_tokens += min(w, len(t) - li * w)
+                kept_chunks.append(chunk)
+        expect[doc_id] = (
+            len(t), n_lines, n_kept, kept_tokens,
+            hashlib.md5(" ".join(kept_chunks).encode()).hexdigest(),
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_lines, r.n_kept, r.kept_tokens, r.kept_md5)
+        for r in dd11_line_dedup(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_dd11_conservation(spark):
+    # every distinct chunk hash survives exactly once corpus-wide:
+    # sum(n_kept) == number of distinct chunk hashes
+    from rsmetacheck_spark.queries import _LINE_W, dd11_line_dedup
+
+    rows = dd11_line_dedup(spark, SF).collect()
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    w = _LINE_W
+    distinct = set()
+    for _d, text in docs:
+        t = _toks(text)
+        for li in range(0, (len(t) - 1) // w + 1) if t else []:
+            distinct.add(" ".join(t[li * w:li * w + w]))
+    assert sum(r.n_kept for r in rows) == len(distinct)
+    assert all(r.n_kept <= r.n_lines for r in rows)
+
+
+def test_hh01_matches_cms_reference(spark, docs):
+    from collections import Counter
+
+    from rsmetacheck_spark.queries import (
+        _CMS_D, _CMS_W, hh01_cms_heavy_hitters,
+    )
+
+    cnt: Counter = Counter()
+    for _d, _s, text, _l, _n in docs:
+        t = _toks(text)
+        for a, b in zip(t, t[1:]):
+            cnt[f"{a} {b}"] += 1
+
+    def positions(bg: str) -> list[int]:
+        h = hashlib.md5(bg.encode()).hexdigest()
+        return [int(h[r * 4:r * 4 + 4], 16) % _CMS_W for r in range(_CMS_D)]
+
+    buckets = [[0] * _CMS_W for _ in range(_CMS_D)]
+    for bg, c in cnt.items():
+        for r, p in enumerate(positions(bg)):
+            buckets[r][p] += c
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    expect = {
+        bg: (c, min(buckets[r][p] for r, p in enumerate(positions(bg))))
+        for bg, c in top
+    }
+    got = {
+        r.bg: (r.exact_cnt, r.cms_est)
+        for r in hh01_cms_heavy_hitters(spark, SF).collect()
+    }
+    assert got == expect
+    # sketch guarantee: never underestimates
+    assert all(est >= c for c, est in got.values())
