@@ -3871,11 +3871,12 @@ REGISTRY.update(_st_registry())
 # oracle changed this round: BIGINT casts), the rest of the r4
 # unsampled tail, and dd02/dd03/q27 (recompiled by the round-5 shingle
 # zip_with rewrite). Back = 22 triple-driver-green (r2+r3+r4) entries
-# whose code is unchanged, so skipping them loses nothing (76 entries
+# whose code is unchanged, so skipping them loses nothing (77 entries
 # total; the gate samples the first 50).
 _FRONT = [
     "dd11_line_dedup",
     "hh01_cms_heavy_hitters",
+    "st05_stream_cms",
     "q38_binpack_bfd",
     "dd10_span_coverage",
     "sim06_quantized_topk",

@@ -205,10 +205,82 @@ GROUP BY c_mktsegment
 """
 
 
+# CMS geometry re-declared from queries.py (hh01) so this streaming row
+# stays self-contained for the driver gate, like SQL_ST02 re-declares
+# SQL_Q05; tests/test_r5_ops.py asserts the constants stay in sync.
+_ST_CMS_D = 4
+_ST_CMS_W = 256
+
+
+def st05_stream_cms(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch built INCREMENTALLY over a document stream: each
+    micro-batch melts its bigram occurrences to (row, pos) hits and a
+    streaming groupBy(row, pos) keeps the running bucket sums — state is
+    NATURALLY bounded at D*W rows no matter how long the stream runs,
+    which is the whole point of sketch-shaped streaming state (an exact
+    streaming top-k would grow state with the vocabulary). Run to
+    completion in COMPLETE mode, the sketch equals the batch hh01 bucket
+    table exactly; in production the sink is read by the same broadcast
+    point-query join hh01 demonstrates."""
+    docs_path = os.path.join(sf, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(_as_stream_dir(docs_path))
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    rp = ", ".join(
+        f"struct(CAST({r} AS INT) AS r,"
+        f" CAST(conv(substr(h, {r * 4 + 1}, 4), 16, 10) AS BIGINT)"
+        f" % {_ST_CMS_W} AS pos)"
+        for r in range(_ST_CMS_D)
+    )
+    melted = (
+        stream.selectExpr(f"{toks} AS t")
+        .where("size(t) >= 2")
+        .selectExpr(
+            "explode(zip_with(slice(t, 1, size(t) - 1),"
+            " slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))) AS bg"
+        )
+        .selectExpr("md5(bg) AS h")
+        .selectExpr(f"explode(array({rp})) AS rp")
+        .selectExpr("rp.r AS r", "rp.pos AS pos")
+        .groupBy("r", "pos")
+        .agg(F.count("*").alias("bsum"))
+    )
+    sink = _run_to_memory(melted, "complete")
+    return spark.table(sink)
+
+
+def _sql_st05() -> str:
+    toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+    def pos(r: int) -> str:
+        return (
+            "CAST(list_sum(list_transform(generate_series(1, 4), c ->"
+            " (strpos('0123456789abcdef',"
+            f" substring(h, {r * 4} + CAST(c AS INTEGER), 1)) - 1)"
+            " << ((4 - CAST(c AS INTEGER)) * 4))) AS BIGINT)"
+            f" % {_ST_CMS_W}"
+        )
+
+    melt = " UNION ALL ".join(
+        f"SELECT {r} AS r, {pos(r)} AS pos FROM hb" for r in range(_ST_CMS_D)
+    )
+    return f"""
+WITH tk AS (SELECT {toks} AS t FROM documents),
+bgs AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM tk WHERE len(t) >= 2),
+hb AS (SELECT md5(bg) AS h FROM bgs),
+melt AS ({melt})
+SELECT r, pos, CAST(COUNT(*) AS BIGINT) AS bsum FROM melt GROUP BY r, pos
+"""
+
+
 def registry() -> dict:
     return {
         "st01_stream_dedup": (st01_stream_dedup, SQL_ST01),
         "st02_stream_sessionize": (st02_stream_sessionize, SQL_ST02),
         "st03_stream_hourly": (st03_stream_hourly, SQL_ST03),
         "st04_stream_enrich": (st04_stream_enrich, SQL_ST04),
+        "st05_stream_cms": (st05_stream_cms, _sql_st05()),
     }

@@ -388,3 +388,39 @@ def test_hh01_matches_cms_reference(spark, docs):
     assert got == expect
     # sketch guarantee: never underestimates
     assert all(est >= c for c, est in got.values())
+
+
+def test_st05_constants_sync_with_hh01():
+    # the streaming CMS row re-declares the sketch geometry to stay
+    # self-contained; it must track queries.py's hh01
+    from rsmetacheck_spark import queries as Q
+    from rsmetacheck_spark.streaming import oracle_rows as O
+
+    assert O._ST_CMS_D == Q._CMS_D
+    assert O._ST_CMS_W == Q._CMS_W
+
+
+def test_st05_state_bounded_and_matches_batch_sketch(spark):
+    # the streaming sketch's whole point: its row count (= state size)
+    # is capped at D*W no matter the input, and the completed stream
+    # equals the batch bucket table hh01 computes internally
+    from rsmetacheck_spark import queries as Q
+    from rsmetacheck_spark.streaming.oracle_rows import st05_stream_cms
+
+    rows = st05_stream_cms(spark, SF).collect()
+    assert len(rows) <= Q._CMS_D * Q._CMS_W
+    got = {(r.r, r.pos): r.bsum for r in rows}
+
+    batch = duckdb.sql(
+        "SELECT * FROM read_parquet"
+        f"('{SF}/documents.parquet')"
+    ).df()
+    con = duckdb.connect()
+    con.register("documents", batch)
+    # reuse the batch oracle's bucket CTE by querying hh01's SQL melt
+    from rsmetacheck_spark.streaming.oracle_rows import _sql_st05
+
+    expect = {
+        (r, p): b for r, p, b in con.execute(_sql_st05()).fetchall()
+    }
+    assert got == expect
