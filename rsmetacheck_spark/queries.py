@@ -536,30 +536,24 @@ _SHINGLES_DUCK = (
 )
 
 
-def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup candidate pairs via MinHash+LSH banding (128 hashes / 16
-    bands — production parameters, threshold ~0.71), verified by exact
-    Jaccard >= t. Scale story: docs->signatures is one map-only pass,
-    checkpointed to scratch parquet (NOT .cache(): signature+shingle tables
-    at 100 TB live in a bucketed scratch table, not executor RAM); the
-    band-bucket self-join shuffles (band_key, doc_id) pairs only; band
-    buckets holding > BAND_CAP docs (viral templates) are dropped via a
-    broadcast anti-join against the tiny hot-band list, bounding the
-    worst-case candidate blowup inside any single key; Jaccard verification
-    joins shingle sets back by doc_id (co-partitioned equi-joins), never a
-    full cross product."""
+def _dd02_candidates(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """The shared MinHash+LSH candidate stage: (cand, mat) where `cand`
+    is the distinct (id_a < id_b) band-bucket candidate pairs and `mat`
+    the checkpointed (doc_id, shingle-set) table. Consumed by dd02 (set
+    Jaccard verify) and dd12 (weighted Jaccard verify).
+
+    Classic minhash cost structure: ONE md5 per shingle -> 32-bit int,
+    then NUM_HASHES cheap affine permutations (a_i*h + b_i) mod p. The
+    permutation mins run as 128 whole-stage-codegen'd MIN aggregates over
+    the EXPLODED (doc_id, shingle-hash) rows — map-side partial combine
+    shrinks the shuffle to one 128-int row per doc — instead of nested
+    array lambdas, which Catalyst interprets per element (~10x slower).
+    The input is explicitly repartitioned: a single small parquet file
+    would otherwise pin the whole signature computation to 1-2 tasks."""
     from .functions.hashing import BAND_CAP, NUM_BANDS, NUM_HASHES, ROWS_PER_BAND
 
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
-    # Classic minhash cost structure: ONE md5 per shingle -> 32-bit int,
-    # then NUM_HASHES cheap affine permutations (a_i*h + b_i) mod p. The
-    # permutation mins run as 128 whole-stage-codegen'd MIN aggregates over
-    # the EXPLODED (doc_id, shingle-hash) rows — map-side partial combine
-    # shrinks the shuffle to one 128-int row per doc — instead of nested
-    # array lambdas, which Catalyst interprets per element (~10x slower).
-    # The input is explicitly repartitioned: a single small parquet file
-    # would otherwise pin the whole signature computation to 1-2 tasks.
     par = spark.sparkContext.defaultParallelism
     sh_df = (
         d.repartition(par, "doc_id")
@@ -601,6 +595,22 @@ def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+    return cand, mat
+
+
+def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup candidate pairs via MinHash+LSH banding (128 hashes / 16
+    bands — production parameters, threshold ~0.71), verified by exact
+    Jaccard >= t. Scale story: docs->signatures is one map-only pass,
+    checkpointed to scratch parquet (NOT .cache(): signature+shingle tables
+    at 100 TB live in a bucketed scratch table, not executor RAM); the
+    band-bucket self-join shuffles (band_key, doc_id) pairs only; band
+    buckets holding > BAND_CAP docs (viral templates) are dropped via a
+    broadcast anti-join against the tiny hot-band list, bounding the
+    worst-case candidate blowup inside any single key; Jaccard verification
+    joins shingle sets back by doc_id (co-partitioned equi-joins), never a
+    full cross product."""
+    cand, mat = _dd02_candidates(spark, sf)
     sa = mat.selectExpr("doc_id AS id_a", "sh AS sh_a")
     sb = mat.selectExpr("doc_id AS id_b", "sh AS sh_b")
     return (
@@ -3774,6 +3784,71 @@ GROUP BY bg, cnt
 """
 
 
+def dd12_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT weighted (multiset) Jaccard over the dd02 LSH candidate
+    pairs: J_w = sum_t min(c_a, c_b) / sum_t max(c_a, c_b) on token
+    COUNTS, the frequency-profile signal that set Jaccard throws away
+    (a doc and its 3x self-concatenation are set-identical but J_w =
+    1/3) and that ICWS weighted-minhash sketches approximate. Emitted
+    in exact integer micro-units so the cross-engine gate is bitwise.
+
+    Scale shape: sum(max) is derived as tot_a + tot_b - sum(min), so
+    only the INNER token join is computed — candidate pairs joined to
+    per-doc token counts on (doc_id, token), two keyed equi-joins, and
+    the candidate set itself comes from dd02's banding (never
+    all-pairs; the shingle/signature checkpoint is shared, so running
+    dd02 and dd12 together prices one index build)."""
+    cand, _mat = _dd02_candidates(spark, sf)
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    tc = (
+        d.selectExpr("doc_id", f"explode({toks}) AS tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tc.groupBy("doc_id").agg(F.sum("c").alias("tot"))
+    im = (
+        cand.join(tc.selectExpr("doc_id AS id_a", "tok", "c AS c_a"), "id_a")
+        .join(tc.selectExpr("doc_id AS id_b", "tok", "c AS c_b"), ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("c_a", "c_b")).alias("im"))
+    )
+    return (
+        im.join(tot.selectExpr("doc_id AS id_a", "tot AS tot_a"), "id_a")
+        .join(tot.selectExpr("doc_id AS id_b", "tot AS tot_b"), "id_b")
+        .selectExpr(
+            "id_a", "id_b",
+            "CAST(im AS BIGINT) AS inter_w",
+            "CAST(tot_a AS BIGINT) AS tot_a",
+            "CAST(tot_b AS BIGINT) AS tot_b",
+            "im * 1000000 div (tot_a + tot_b - im) AS wj_micro",
+        )
+        .filter(F.col("wj_micro") >= 500000)
+    )
+
+
+def _sql_dd12() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH {_sql_dd02_ctes()},
+tc AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest({t}) AS tok FROM documents)
+  GROUP BY doc_id, tok),
+tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot FROM tc GROUP BY doc_id),
+im AS (
+  SELECT id_a, id_b, CAST(SUM(least(a.c, b.c)) AS BIGINT) AS im
+  FROM cand
+  JOIN tc a ON a.doc_id = cand.id_a
+  JOIN tc b ON b.doc_id = cand.id_b AND b.tok = a.tok
+  GROUP BY id_a, id_b)
+SELECT id_a, id_b, im AS inter_w, ta.tot AS tot_a, tb.tot AS tot_b,
+       CAST(im * 1000000 // (ta.tot + tb.tot - im) AS BIGINT) AS wj_micro
+FROM im JOIN tot ta ON ta.doc_id = im.id_a JOIN tot tb ON tb.doc_id = im.id_b
+WHERE im * 1000000 // (ta.tot + tb.tot - im) >= 500000
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3843,6 +3918,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dd10_span_coverage": (dd10_span_coverage, _sql_dd10()),
     "dd11_line_dedup": (dd11_line_dedup, _sql_dd11()),
     "hh01_cms_heavy_hitters": (hh01_cms_heavy_hitters, _sql_hh01()),
+    "dd12_weighted_jaccard": (dd12_weighted_jaccard, _sql_dd12()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -3871,11 +3947,12 @@ REGISTRY.update(_st_registry())
 # oracle changed this round: BIGINT casts), the rest of the r4
 # unsampled tail, and dd02/dd03/q27 (recompiled by the round-5 shingle
 # zip_with rewrite). Back = 22 triple-driver-green (r2+r3+r4) entries
-# whose code is unchanged, so skipping them loses nothing (77 entries
+# whose code is unchanged, so skipping them loses nothing (78 entries
 # total; the gate samples the first 50).
 _FRONT = [
     "dd11_line_dedup",
     "hh01_cms_heavy_hitters",
+    "dd12_weighted_jaccard",
     "st05_stream_cms",
     "q38_binpack_bfd",
     "dd10_span_coverage",

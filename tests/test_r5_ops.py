@@ -424,3 +424,22 @@ def test_st05_state_bounded_and_matches_batch_sketch(spark):
         (r, p): b for r, p, b in con.execute(_sql_st05()).fetchall()
     }
     assert got == expect
+
+
+def test_dd12_weighted_jaccard_math(spark, docs):
+    # recompute J_w from raw token multisets for every returned pair
+    # (the candidate stage itself is covered by dd02's oracle row)
+    from collections import Counter
+
+    from rsmetacheck_spark.queries import dd12_weighted_jaccard
+
+    txt = {doc_id: text for doc_id, _s, text, _l, _n in docs}
+    rows = dd12_weighted_jaccard(spark, SF).collect()
+    assert rows, "candidate set should produce at least one pair"
+    for r in rows:
+        ca, cb = Counter(_toks(txt[r.id_a])), Counter(_toks(txt[r.id_b]))
+        inter = sum(min(ca[t], cb[t]) for t in ca.keys() & cb.keys())
+        tot_a, tot_b = sum(ca.values()), sum(cb.values())
+        assert (r.inter_w, r.tot_a, r.tot_b) == (inter, tot_a, tot_b)
+        assert r.wj_micro == inter * 1000000 // (tot_a + tot_b - inter)
+        assert r.wj_micro >= 500000
