@@ -3954,6 +3954,9 @@ _FRONT = [
     "hh01_cms_heavy_hitters",
     "dd12_weighted_jaccard",
     "st05_stream_cms",
+    # consumes the refactored dd02 candidate stage (and the round-5
+    # shingle rewrite through it) — needs a fresh driver row
+    "dd06_dup_groups",
     "q38_binpack_bfd",
     "dd10_span_coverage",
     "sim06_quantized_topk",
@@ -3989,7 +3992,6 @@ _FRONT = [
 _BACK = [
     "dd04_simhash",
     "dd05_embedding_pairs",
-    "dd06_dup_groups",
     "ev01_version_rules",
     "ev02_repo_url_rules",
     "mm01_media_features",
