@@ -3849,6 +3849,166 @@ WHERE im * 1000000 // (ta.tot + tb.tot - im) >= 500000
 """
 
 
+_BK_K = 5  # per-source sample size for the bottom-k sampler
+
+
+def q39_bottomk_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-group uniform sample via BOTTOM-K hashing: rank
+    docs within each source by md5(doc_id) and keep the k smallest — the
+    hash is a fixed uniform permutation of the group, so the k winners
+    are a uniform-without-replacement sample that is REPRODUCIBLE across
+    runs, engines, and partitionings (no RNG state to seed; re-running
+    on the same corpus reselects the same docs, which is what a training
+    pipeline needs for auditable subsampling).
+
+    Scale shape: two-phase salted top-k. Phase 1 ranks within
+    (source, doc_id % SALT) slices, so no single reducer ever sorts a
+    hot source's full row set; phase 2 ranks the <= SALT*k survivors per
+    source (tiny). The union of per-salt bottom-ks provably contains the
+    per-source bottom-k, so the phases are exact, not approximate. The
+    DuckDB oracle keeps the naive single ROW_NUMBER — a two-formulation
+    equivalence check like q35."""
+    d = _t(spark, sf, "documents")
+    ranked = d.selectExpr(
+        "source", "doc_id", "md5(CAST(doc_id AS STRING)) AS h",
+        f"doc_id % {_SALT_N} AS salt",
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
+    p1 = (
+        ranked.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= _BK_K)
+    )
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        p1.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _BK_K)
+        .selectExpr("source", "CAST(rk AS INT) AS rk", "doc_id", "h")
+    )
+
+
+SQL_Q39 = f"""
+SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, h FROM (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+WHERE rk <= {_BK_K}
+"""
+
+
+def q40_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence segmentation + per-source sentence statistics (text
+    analysis family, alongside q10 token stats / q20 quality score):
+    split on terminal-punctuation runs, trim, drop empties, then report
+    per source the doc count, sentence count, max sentences in one doc,
+    and mean sentence length in exact milli-chars (integer division —
+    no float drift between engines). The per-doc stage is map-only
+    (split + two single-level array aggregates, whole-stage codegen);
+    the per-source reduce pre-combines map-side, so the shuffle carries
+    one partial row per (task, source) regardless of corpus size."""
+    d = _t(spark, sf, "documents")
+    sents = "filter(transform(split(text, '[.!?]+'), s -> trim(s)), s -> s != '')"
+    per_doc = d.selectExpr(
+        "source",
+        f"CAST(size({sents}) AS BIGINT) AS ns",
+        f"aggregate({sents}, CAST(0 AS BIGINT), (acc, s) -> acc + length(s)) AS sc",
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ns").alias("n_sents"),
+        F.max("ns").alias("max_sents"),
+        F.expr(
+            "CASE WHEN SUM(ns) > 0 THEN SUM(sc) * 1000 div SUM(ns)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("mean_sent_chars_milli"),
+    )
+
+
+SQL_Q40 = """
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(s) AS BIGINT) AS ns,
+         CAST(COALESCE(list_sum(list_transform(s, x -> length(x))), 0) AS BIGINT) AS sc
+  FROM (SELECT source,
+               list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                          x -> trim(x)), x -> x <> '') AS s
+        FROM documents))
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(ns) AS BIGINT) AS n_sents,
+       MAX(ns) AS max_sents,
+       CASE WHEN SUM(ns) > 0 THEN CAST(SUM(sc) * 1000 // SUM(ns) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS mean_sent_chars_milli
+FROM per_doc GROUP BY source
+"""
+
+
+_CONT_T = 500_000  # micro-units: report pairs where either containment >= 0.5
+
+
+def dd13_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric CONTAINMENT over the dd02 LSH candidate pairs:
+    c(a|b) = |tok(a) ∩ tok(b)| / |tok(a)| on DISTINCT token sets — the
+    near-superset signal Jaccard dilutes (a doc quoted whole inside a
+    10x-longer page has tiny Jaccard but containment ~1.0, the exact
+    case C4-style dedup wants to catch). Both directions are emitted in
+    exact integer micro-units so the cross-engine gate is bitwise.
+
+    Scale shape mirrors dd12: the candidate set comes from dd02's
+    banding (never all-pairs, shared checkpointed signature build), the
+    intersection is two keyed equi-joins on (doc_id, token) with
+    map-side combine, and per-doc distinct-token counts join back by id."""
+    cand, _mat = _dd02_candidates(spark, sf)
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    dt = (
+        d.selectExpr("doc_id", f"explode(array_distinct({toks})) AS tok")
+    )
+    n = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(dt.selectExpr("doc_id AS id_a", "tok"), "id_a")
+        .join(dt.selectExpr("doc_id AS id_b", "tok"), ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(n.selectExpr("doc_id AS id_a", "n AS n_a"), "id_a")
+        .join(n.selectExpr("doc_id AS id_b", "n AS n_b"), "id_b")
+        .selectExpr(
+            "id_a", "id_b",
+            "CAST(inter AS BIGINT) AS inter",
+            "CAST(n_a AS BIGINT) AS n_a",
+            "CAST(n_b AS BIGINT) AS n_b",
+            "inter * 1000000 div n_a AS cont_a_micro",
+            "inter * 1000000 div n_b AS cont_b_micro",
+        )
+        .filter(
+            (F.col("cont_a_micro") >= _CONT_T) | (F.col("cont_b_micro") >= _CONT_T)
+        )
+    )
+
+
+def _sql_dd13() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH {_sql_dd02_ctes()},
+dt AS (
+  SELECT DISTINCT doc_id, unnest({t}) AS tok FROM documents),
+n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM dt GROUP BY doc_id),
+im AS (
+  SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand
+  JOIN dt a ON a.doc_id = cand.id_a
+  JOIN dt b ON b.doc_id = cand.id_b AND b.tok = a.tok
+  GROUP BY id_a, id_b)
+SELECT id_a, id_b, inter, na.n AS n_a, nb.n AS n_b,
+       CAST(inter * 1000000 // na.n AS BIGINT) AS cont_a_micro,
+       CAST(inter * 1000000 // nb.n AS BIGINT) AS cont_b_micro
+FROM im JOIN n na ON na.doc_id = im.id_a JOIN n nb ON nb.doc_id = im.id_b
+WHERE inter * 1000000 // na.n >= {_CONT_T}
+   OR inter * 1000000 // nb.n >= {_CONT_T}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3919,6 +4079,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dd11_line_dedup": (dd11_line_dedup, _sql_dd11()),
     "hh01_cms_heavy_hitters": (hh01_cms_heavy_hitters, _sql_hh01()),
     "dd12_weighted_jaccard": (dd12_weighted_jaccard, _sql_dd12()),
+    "q39_bottomk_sample": (q39_bottomk_sample, SQL_Q39),
+    "q40_sentence_stats": (q40_sentence_stats, SQL_Q40),
+    "dd13_containment": (dd13_containment, _sql_dd13()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -3950,6 +4113,11 @@ REGISTRY.update(_st_registry())
 # whose code is unchanged, so skipping them loses nothing (78 entries
 # total; the gate samples the first 50).
 _FRONT = [
+    # round-5b additions (never driver-sampled)
+    "q39_bottomk_sample",
+    "q40_sentence_stats",
+    "dd13_containment",
+    "st06_stream_quantiles",
     "dd11_line_dedup",
     "hh01_cms_heavy_hitters",
     "dd12_weighted_jaccard",

@@ -276,6 +276,65 @@ SELECT r, pos, CAST(COUNT(*) AS BIGINT) AS bsum FROM melt GROUP BY r, pos
 """
 
 
+# Bin width re-declared from queries.py (q36) so this streaming row stays
+# self-contained for the driver gate; tests/test_r5_ops.py asserts sync.
+_ST_QBIN_W = 64
+
+
+def st06_stream_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile sketch built INCREMENTALLY over a document stream: each
+    micro-batch folds its rows into a streaming groupBy(source, bin)
+    histogram — running state is bounded at sources × bins no matter how
+    long the stream runs (same bounded-sketch-state argument as st05's
+    CMS). Run to completion in COMPLETE mode the histogram equals q36's
+    batch phase-1 table exactly, and the batch rank-crossing readout over
+    the TINY sink (window cumsum, integer arithmetic) reproduces q36's
+    p50/p90/p99 — streaming ingest, batch-identical percentiles."""
+    docs_path = os.path.join(sf, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(_as_stream_dir(docs_path))
+    hist = (
+        stream.selectExpr("source", f"n_chars div {_ST_QBIN_W} AS bin")
+        .groupBy("source", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    sink = _run_to_memory(hist, "complete")
+    cum = spark.table(sink).selectExpr(
+        "source", "c",
+        "SUM(c) OVER (PARTITION BY source ORDER BY bin"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum",
+        "SUM(c) OVER (PARTITION BY source) AS total",
+        f"(bin + 1) * {_ST_QBIN_W} - 1 AS ub",
+    )
+    return cum.groupBy("source").agg(
+        F.max("total").alias("n_docs"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("ub"))).alias("p50_ub"),
+        F.min(F.when(F.col("cum") * 10 >= F.col("total") * 9, F.col("ub"))).alias("p90_ub"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("total") * 99, F.col("ub"))).alias("p99_ub"),
+    )
+
+
+# identical to queries.SQL_Q36 — re-declared so the streaming row is
+# self-contained for the driver gate (same pattern as SQL_ST02/q05)
+SQL_ST06 = f"""
+WITH b AS (
+  SELECT source, n_chars // {_ST_QBIN_W} AS bin, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2),
+cum AS (
+  SELECT source, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY source) AS total,
+         (bin + 1) * {_ST_QBIN_W} - 1 AS ub
+  FROM b)
+SELECT source, CAST(MAX(total) AS BIGINT) AS n_docs,
+       MIN(CASE WHEN cum * 2 >= total THEN ub END) AS p50_ub,
+       MIN(CASE WHEN cum * 10 >= total * 9 THEN ub END) AS p90_ub,
+       MIN(CASE WHEN cum * 100 >= total * 99 THEN ub END) AS p99_ub
+FROM cum GROUP BY source
+"""
+
+
 def registry() -> dict:
     return {
         "st01_stream_dedup": (st01_stream_dedup, SQL_ST01),
@@ -283,4 +342,5 @@ def registry() -> dict:
         "st03_stream_hourly": (st03_stream_hourly, SQL_ST03),
         "st04_stream_enrich": (st04_stream_enrich, SQL_ST04),
         "st05_stream_cms": (st05_stream_cms, _sql_st05()),
+        "st06_stream_quantiles": (st06_stream_quantiles, SQL_ST06),
     }
