@@ -1237,6 +1237,17 @@ def _flip_bit(sig: str, i: int) -> str:
     return f"concat({head}{flip}{tail})"
 
 
+def _dd05_unit(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, u): L2-normalized embeddings, computed once and
+    checkpointed — cosine = plain dot product downstream. Shared by
+    dd05 (LSH-bucketed pairs) and dd14 (cluster-scoped SemDeDup)."""
+    norm = "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
+    e = _t(spark, sf, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS double)) AS v"
+    ).selectExpr("vec_id", f"transform(v, x -> x / {norm}) AS u")
+    return _checkpoint(e, "dd05_unit", key=f"dd05_unit:{_sfkey(sf)}")
+
+
 def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table hyperplane LSH:
     vectors are L2-normalized ONCE and checkpointed (cosine = plain dot
@@ -1247,11 +1258,7 @@ def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
     the unit vectors. No unblocked theta-join anywhere in the plan. (Label
     is deliberately NOT a blocking key: in this corpus most >=0.45 pairs
     are cross-label, so metadata blocking would be semantically wrong.)"""
-    norm = "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
-    e = _t(spark, sf, "embeddings").selectExpr(
-        "vec_id", "transform(embedding, x -> CAST(x AS double)) AS v"
-    ).selectExpr("vec_id", f"transform(v, x -> x / {norm}) AS u")
-    mat = _checkpoint(e, "dd05_unit", key=f"dd05_unit:{_sfkey(sf)}")
+    mat = _dd05_unit(spark, sf)
     # signatures computed ONCE per table, then base/probe keys are cheap
     # string edits of the K-char signature (no dot-product recompute)
     sig_exprs = []
@@ -2921,6 +2928,34 @@ _EMB_DIM = 64    # embeddings table dim (TESTDATA.md); the DuckDB oracle
 #                  fails the oracle compare loudly, it cannot pass silently
 
 
+def _km01_assigned(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, qv, cid): the km01 fixed-point assignment stage — seed
+    centroids (k smallest vec_ids) COLLECTED and baked as literals, so
+    assignment is a map-only projection (see km01_kmeans_iteration for
+    the full scale rationale). Shared by km01 and dd14."""
+    qexpr = (
+        f"transform(embedding, x -> CAST(floor(CAST(x AS double) * {_KM_SCALE}"
+        " + 0.5) AS bigint))"
+    )
+    e = _t(spark, sf, "embeddings").selectExpr("vec_id", f"{qexpr} AS qv")
+    seeds = (
+        e.orderBy("vec_id").limit(_KM_K).collect()
+    )  # k rows, k*dim ints — the driver-held state of the k-means loop
+    dists = ", ".join(
+        "aggregate(zip_with(qv, array({lits}), (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS bigint), (a, x) -> a + x)".format(
+            lits=", ".join(f"{v}L" for v in row.qv)
+        )
+        for row in seeds
+    )
+    # two projections: materialize the k-distance array ONCE, then argmin
+    # over the column — HOFs are codegen-fallback, so CSE of a duplicated
+    # dists expression inside array_position/array_min is not guaranteed
+    return e.selectExpr("vec_id", "qv", f"array({dists}) AS dists").selectExpr(
+        "vec_id", "qv", "array_position(dists, array_min(dists)) - 1 AS cid"
+    )
+
+
 def km01_kmeans_iteration(spark: SparkSession, sf: str) -> DataFrame:
     """One Lloyd (k-means) iteration over the embedding table — the
     representative ITERATIVE algorithm: assign each vector to its nearest
@@ -2943,27 +2978,7 @@ def km01_kmeans_iteration(spark: SparkSession, sf: str) -> DataFrame:
     engines — float sum order would not be. A full k-means is this plan
     in a driver loop (re-collecting k*dim numbers per round); one
     iteration is the oracle-checkable unit."""
-    qexpr = (
-        f"transform(embedding, x -> CAST(floor(CAST(x AS double) * {_KM_SCALE}"
-        " + 0.5) AS bigint))"
-    )
-    e = _t(spark, sf, "embeddings").selectExpr("vec_id", f"{qexpr} AS qv")
-    seeds = (
-        e.orderBy("vec_id").limit(_KM_K).collect()
-    )  # k rows, k*dim ints — the driver-held state of the k-means loop
-    dists = ", ".join(
-        "aggregate(zip_with(qv, array({lits}), (x, y) -> (x - y) * (x - y)),"
-        " CAST(0 AS bigint), (a, x) -> a + x)".format(
-            lits=", ".join(f"{v}L" for v in row.qv)
-        )
-        for row in seeds
-    )
-    # two projections: materialize the k-distance array ONCE, then argmin
-    # over the column — HOFs are codegen-fallback, so CSE of a duplicated
-    # dists expression inside array_position/array_min is not guaranteed
-    assigned = e.selectExpr("qv", f"array({dists}) AS dists").selectExpr(
-        "qv", "array_position(dists, array_min(dists)) - 1 AS cid"
-    )
+    assigned = _km01_assigned(spark, sf).select("qv", "cid")
     return (
         assigned.select("cid", F.posexplode("qv").alias("dim0", "val"))
         .selectExpr(
@@ -2978,8 +2993,7 @@ def km01_kmeans_iteration(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_KM01 = f"""
-WITH e AS (
+_SQL_KM01_CTES = f"""e AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
            x -> CAST(floor(x * {_KM_SCALE} + 0.5) AS BIGINT)) AS qv
@@ -2998,7 +3012,10 @@ assigned AS (
   SELECT vec_id, qv, cid FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                  ORDER BY dist, cid) AS rn
-    FROM scored) WHERE rn = 1)
+    FROM scored) WHERE rn = 1)"""
+
+SQL_KM01 = f"""
+WITH {_SQL_KM01_CTES}
 SELECT cid AS cluster_id, CAST(i AS BIGINT) AS dim,
        COUNT(*) AS n_members, CAST(SUM(qv[i]) AS BIGINT) AS sum_q
 FROM assigned, generate_series(1, {_EMB_DIM}) AS g(i)
@@ -4009,6 +4026,308 @@ WHERE inter * 1000000 // na.n >= {_CONT_T}
 """
 
 
+_BPE_TOP = 20  # merge candidates reported per iteration
+
+
+def q41_bpe_merge_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """One iteration of BPE TRAINING's inner loop: the most-frequent
+    adjacent symbol pairs over the corpus, computed the way every real
+    BPE trainer does it — over the DISTINCT-WORD table weighted by word
+    frequency, never over raw tokens. The corpus collapses to its
+    vocabulary first (one groupBy, vocab-sized output regardless of
+    corpus size: 100 TB of text is still a few million distinct words),
+    then pair extraction is a map-only explode over the vocab and the
+    pair counts pre-combine map-side. Top candidates under a total order
+    (weight desc, pair asc) so the LIMIT is deterministic."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    wf = (
+        d.selectExpr(f"explode({toks}) AS w")
+        .groupBy("w").agg(F.count("*").alias("freq"))
+    )
+    pairs = wf.filter("length(w) >= 2").selectExpr(
+        "explode(transform(sequence(1, length(w) - 1),"
+        " i -> substring(w, i, 2))) AS pair",
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_TOP)
+        .selectExpr("pair", "CAST(n AS BIGINT) AS n")
+    )
+
+
+def _sql_q41() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH wf AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest({t}) AS w FROM documents) GROUP BY w),
+p AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+           i -> substring(w, CAST(i AS INTEGER), 2))) AS pair, freq
+  FROM wf WHERE length(w) >= 2)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT {_BPE_TOP}
+"""
+
+
+_TRAIL_DAYS = 90  # trailing repeat-purchase window
+
+
+def q42_trailing_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-window RANGE JOIN, the Spark-first way: each order with
+    the count and revenue of the SAME customer's orders in the preceding
+    90 days. Instead of the naive self-join (which re-shuffles orders
+    twice and materializes every in-window pair), the Spark plan is a
+    single window with a RANGE frame over integer day offsets — one
+    shuffle on custkey, zero joins, and the frame scan is linear per
+    customer instead of quadratic pair formation. Revenue goes through
+    DECIMAL(18,4) so the windowed sum is exact and order-independent.
+
+    The DuckDB oracle keeps the naive LEFT self-join + GROUP BY — a
+    two-formulation equivalence check (like q35/q39) proving the range
+    frame implements exactly the interval predicate."""
+    o = _t(spark, sf, "orders").selectExpr(
+        "o_orderkey", "o_custkey",
+        "CAST(o_totalprice AS DECIMAL(18,4)) AS tp",
+        "datediff(CAST(o_orderdate AS DATE), date'1990-01-01') AS d",
+    )
+    w = (
+        Window.partitionBy("o_custkey").orderBy("d")
+        .rangeBetween(-_TRAIL_DAYS, -1)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.count("d").over(w).alias("n_prev90"),
+        F.coalesce(F.sum("tp").over(w), F.lit(0).cast("decimal(18,4)"))
+        .cast("double").alias("sum_prev90"),
+    )
+
+
+SQL_Q42 = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS tp,
+         date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS d
+  FROM orders)
+SELECT a.o_orderkey, a.o_custkey,
+       COUNT(b.o_orderkey) AS n_prev90,
+       CAST(COALESCE(SUM(b.tp), 0) AS DOUBLE) AS sum_prev90
+FROM o a LEFT JOIN o b
+  ON a.o_custkey = b.o_custkey
+ AND b.d BETWEEN a.d - {_TRAIL_DAYS} AND a.d - 1
+GROUP BY a.o_orderkey, a.o_custkey
+"""
+
+
+def dd14_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup: cluster the embedding space
+    (km01's fixed-point assignment — map-only, centroids baked as
+    literals), then look for near-duplicate pairs ONLY within each
+    cluster and drop the higher id of every close pair. This is the
+    cluster-scoped blocking that makes embedding dedup tractable at
+    10^12 docs: the candidate join is an equi-join on cluster id, so
+    pair formation is quadratic only within a cluster, never across the
+    corpus (Abbas et al., SemDeDup). Contrast dd05, which blocks by LSH
+    bucket — the two blockings are complementary recall/cost tradeoffs.
+
+    Verdict rule is deterministic: keep vec_id unless some LOWER id in
+    the same cluster has cosine >= t with it (exact dot product on the
+    shared checkpointed unit vectors, round-6 like dd05)."""
+    asg = _km01_assigned(spark, sf).select("vec_id", "cid")
+    uv = _dd05_unit(spark, sf)
+    a = asg.selectExpr("vec_id AS id_a", "cid")
+    b = asg.selectExpr("vec_id AS id_b", "cid")
+    cand = a.join(b, "cid").filter(F.col("id_a") < F.col("id_b"))
+    dot = (
+        "aggregate(zip_with(u_a, u_b, (x, y) -> x * y),"
+        " CAST(0 AS double), (acc, x) -> acc + x)"
+    )
+    dup_b = (
+        cand.join(uv.selectExpr("vec_id AS id_a", "u AS u_a"), "id_a")
+        .join(uv.selectExpr("vec_id AS id_b", "u AS u_b"), "id_b")
+        .selectExpr("id_b", f"round({dot}, 6) AS cos_sim")
+        .filter(F.col("cos_sim") >= COSINE_PAIR_T)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        asg.join(dup_b, "vec_id", "left")
+        .selectExpr(
+            "vec_id",
+            "CAST(cid AS BIGINT) AS cluster_id",
+            "NOT coalesce(is_dup, false) AS keep",
+        )
+    )
+
+
+def _sql_dd14() -> str:
+    return f"""
+WITH {_SQL_KM01_CTES},
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+un AS (SELECT vec_id,
+              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+       FROM ev),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN un ua ON ua.vec_id = a.vec_id
+  JOIN un ub ON ub.vec_id = b.vec_id
+  WHERE ROUND(list_dot_product(ua.u, ub.u), 6) >= {COSINE_PAIR_T})
+SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cluster_id,
+       (asg.vec_id NOT IN (SELECT vec_id FROM dup)) AS keep
+FROM assigned asg
+"""
+
+
+def q43_global_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """GLOBAL total-order ranking without a global sort: the distributed
+    two-phase ranking every 100 TB sort-adjacent job uses. Phase 1 bins
+    rows by value range and counts per bin (bounded groupBy, map-side
+    combined); phase 2 computes bin offsets with a window cumsum over
+    the TINY bin table (rows = #bins, not #docs); phase 3 ranks within
+    each bin (the only per-row sort — partitioned by bin, so every sort
+    is local and bounded) and adds the broadcast offset. A naive
+    ROW_NUMBER() OVER (ORDER BY ...) would plan a single-partition
+    window — one executor sorts the corpus; this plan never materializes
+    a global order, yet emits exact global ranks. The DuckDB oracle
+    keeps the naive single-sort formulation — a two-formulation
+    equivalence check."""
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    b = d.selectExpr("doc_id", "n_chars", f"n_chars div {_QBIN_W} AS bin")
+    counts = b.groupBy("bin").agg(F.count("*").alias("c"))
+    wo = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bin", F.coalesce(F.sum("c").over(wo), F.lit(0)).alias("off")
+    )
+    wb = Window.partitionBy("bin").orderBy("n_chars", "doc_id")
+    return (
+        b.join(F.broadcast(offsets), "bin")
+        .withColumn("rn", F.row_number().over(wb))
+        .selectExpr("doc_id", "n_chars", "CAST(off + rn AS BIGINT) AS rnk")
+    )
+
+
+SQL_Q43 = """
+SELECT doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rnk
+FROM documents
+"""
+
+
+_MKNN_K = 3  # neighbors per vector before the mutuality filter
+
+
+def sim08_mutual_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual-kNN GRAPH construction — the edge set clustering and
+    graph-based dedup pipelines consume (an edge survives only if each
+    endpoint is in the other's top-k, which prunes hub vectors that
+    appear in everyone's neighbor list). Candidate generation is
+    cluster-blocked like dd14 (km01's map-only assignment): per-cluster
+    kNN is an equi-join on cluster id + a per-vector top-k window, so
+    pair formation is bounded by cluster size, never corpus-quadratic —
+    the IVF trade: recall loss only across cluster boundaries. The
+    mutuality filter is a self-join of the tiny top-k edge list on the
+    reversed key pair. Exact round-6 cosine on the shared dd05 unit
+    vectors; ties broken by neighbor id, so the graph is deterministic."""
+    asg = _km01_assigned(spark, sf).select("vec_id", "cid")
+    uv = _dd05_unit(spark, sf)
+    a = asg.selectExpr("vec_id AS id_a", "cid")
+    b = asg.selectExpr("vec_id AS id_b", "cid")
+    dot = (
+        "aggregate(zip_with(u_a, u_b, (x, y) -> x * y),"
+        " CAST(0 AS double), (acc, x) -> acc + x)"
+    )
+    scored = (
+        a.join(b, "cid").filter(F.col("id_a") != F.col("id_b"))
+        .join(uv.selectExpr("vec_id AS id_a", "u AS u_a"), "id_a")
+        .join(uv.selectExpr("vec_id AS id_b", "u AS u_b"), "id_b")
+        .selectExpr("id_a", "id_b", f"round({dot}, 6) AS cos_sim")
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.desc("cos_sim"), F.asc("id_b")
+    )
+    knn = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MKNN_K)
+        .select("id_a", "id_b", "cos_sim")
+    )
+    rev = knn.selectExpr("id_b AS id_a", "id_a AS id_b")
+    return (
+        knn.join(rev, ["id_a", "id_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def _sql_sim08() -> str:
+    return f"""
+WITH {_SQL_KM01_CTES},
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+un AS (SELECT vec_id,
+              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+       FROM ev),
+sc2 AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(ua.u, ub.u), 6) AS cos_sim
+  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  JOIN un ua ON ua.vec_id = a.vec_id
+  JOIN un ub ON ub.vec_id = b.vec_id),
+knn AS (
+  SELECT id_a, id_b, cos_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                                 ORDER BY cos_sim DESC, id_b ASC) AS rk
+    FROM sc2) WHERE rk <= {_MKNN_K})
+SELECT k.id_a, k.id_b, k.cos_sim
+FROM knn k JOIN knn r ON r.id_a = k.id_b AND r.id_b = k.id_a
+WHERE k.id_a < k.id_b
+"""
+
+
+_SW_DF_MIN_PCT = 30  # report tokens present in >= 30% of documents
+
+
+def q44_stopword_df(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-driven STOPWORD DISCOVERY via document frequency: tokens
+    present in >= 30% of all documents, with exact df and integer df
+    percentage — how a pipeline derives the stopword list its quality
+    rules (R003 stopword fraction) consume, instead of shipping a
+    hand-curated one per language. Distinct-per-doc explode feeds a
+    map-side-combined df count (vocabulary-sized, not token-stream-
+    sized); the corpus total rides in as a broadcast scalar."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    df_t = (
+        d.selectExpr("doc_id", f"explode(array_distinct({toks})) AS tok")
+        .groupBy("tok").agg(F.count("*").alias("df"))
+    )
+    total = d.groupBy().agg(F.count("*").alias("n_docs"))
+    return (
+        df_t.crossJoin(F.broadcast(total))
+        .filter(F.col("df") * 100 >= F.col("n_docs") * _SW_DF_MIN_PCT)
+        .selectExpr(
+            "tok", "CAST(df AS BIGINT) AS df", "n_docs",
+            "df * 1000000 div n_docs AS df_micro",
+        )
+    )
+
+
+def _sql_q44() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH dt AS (SELECT DISTINCT doc_id, unnest({t}) AS tok FROM documents),
+df_t AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tok, df, n_docs, df * 1000000 // n_docs AS df_micro
+FROM df_t, tot
+WHERE df * 100 >= n_docs * {_SW_DF_MIN_PCT}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4082,6 +4401,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q39_bottomk_sample": (q39_bottomk_sample, SQL_Q39),
     "q40_sentence_stats": (q40_sentence_stats, SQL_Q40),
     "dd13_containment": (dd13_containment, _sql_dd13()),
+    "q41_bpe_merge_pairs": (q41_bpe_merge_pairs, _sql_q41()),
+    "q42_trailing_orders": (q42_trailing_orders, SQL_Q42),
+    "dd14_semantic_dedup": (dd14_semantic_dedup, _sql_dd14()),
+    "q43_global_rank": (q43_global_rank, SQL_Q43),
+    "sim08_mutual_knn": (sim08_mutual_knn, _sql_sim08()),
+    "q44_stopword_df": (q44_stopword_df, _sql_q44()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -4118,6 +4443,17 @@ _FRONT = [
     "q40_sentence_stats",
     "dd13_containment",
     "st06_stream_quantiles",
+    "q41_bpe_merge_pairs",
+    "q42_trailing_orders",
+    "st07_stream_distinct",
+    "dd14_semantic_dedup",
+    "q43_global_rank",
+    "st08_stream_stream_join",
+    "sim08_mutual_knn",
+    "q44_stopword_df",
+    # recompiled this session by the _dd05_unit/_km01_assigned refactors —
+    # same outputs (locally re-MATCHed), but they need fresh driver rows
+    "dd05_embedding_pairs",
     "dd11_line_dedup",
     "hh01_cms_heavy_hitters",
     "dd12_weighted_jaccard",
@@ -4159,7 +4495,6 @@ _FRONT = [
 ]
 _BACK = [
     "dd04_simhash",
-    "dd05_embedding_pairs",
     "ev01_version_rules",
     "ev02_repo_url_rules",
     "mm01_media_features",

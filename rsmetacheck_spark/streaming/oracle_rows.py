@@ -335,6 +335,114 @@ FROM cum GROUP BY source
 """
 
 
+def st08_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAM-STREAM interval join — the one join shape st04 doesn't
+    cover (there the dimension is static). Two event streams join on
+    user with an event-time range (followers within 10 minutes); both
+    sides carry watermarks + the time constraint, so Spark's symmetric
+    hash join can EVICT state older than the horizon — bounded state on
+    unbounded streams, which is the entire point of watermarked
+    stream-stream joins. Inner joins emit eagerly, so run to completion
+    the emitted pair set equals the batch interval self-join exactly;
+    the memory sink is then batch-aggregated per anchor event."""
+    events_path = os.path.join(sf, "events.parquet")
+    schema = spark.read.parquet(events_path).schema
+
+    def side(prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(_as_stream_dir(events_path))
+            # parquet infers TIMESTAMP_NTZ; event-time ops need TIMESTAMP
+            .selectExpr(
+                f"event_id AS {prefix}_id",
+                f"user_id AS {prefix}_user",
+                f"CAST(ts AS TIMESTAMP) AS {prefix}_ts",
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    joined = side("a").join(
+        side("b"),
+        F.expr(
+            "a_user = b_user AND b_ts > a_ts"
+            " AND b_ts <= a_ts + interval 10 minutes"
+        ),
+    )
+    sink = _run_to_memory(joined.select("a_id", "b_id"), "append")
+    return (
+        spark.table(sink)
+        .groupBy("a_id")
+        .agg(F.count("*").alias("n_follow"), F.max("b_id").alias("last_b"))
+    )
+
+
+SQL_ST08 = """
+SELECT a.event_id AS a_id, COUNT(*) AS n_follow, MAX(b.event_id) AS last_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+GROUP BY a.event_id
+"""
+
+
+# Linear-counting geometry re-declared from queries.py (dc01) so this
+# streaming row stays self-contained; tests assert sync with _LC_M and
+# _lc_width().
+_ST_LC_M = 1024
+
+
+def _st_lc_width() -> int:
+    need = (max(_ST_LC_M - 1, 1).bit_length() + 3) // 4
+    return max(8, need)
+
+
+def st07_stream_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-cardinality sketch built INCREMENTALLY over a document
+    stream: each micro-batch hashes its texts into the dc01 linear-
+    counting buckets and a streaming groupBy(source, bucket) keeps the
+    running bucket counts — state is bounded at sources × m rows forever
+    (an exact streaming COUNT(DISTINCT) would grow state with the key
+    space, which is exactly what the sketch family avoids). Run to
+    completion in COMPLETE mode, the per-source used-bucket counts equal
+    dc01's batch sketch; the cardinality estimate m·ln(m/empty) is
+    derived downstream, keeping libm out of the oracle."""
+    docs_path = os.path.join(sf, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(_as_stream_dir(docs_path))
+    w = _st_lc_width()
+    buckets = (
+        stream.selectExpr("source", "md5(lower(trim(text))) AS h")
+        .selectExpr(
+            "source",
+            f"CAST(conv(substr(h, 1, {w}), 16, 10) AS bigint)"
+            f" % {_ST_LC_M} AS bucket",
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    sink = _run_to_memory(buckets, "complete")
+    return spark.table(sink).groupBy("source").agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_used"),
+    )
+
+
+def _sql_st07() -> str:
+    w = _st_lc_width()
+    hex2int = (
+        f"CAST(list_sum(list_transform(generate_series(1, {w}), j ->"
+        " CAST(strpos('0123456789abcdef', substring(h, CAST(j AS INTEGER), 1))"
+        f" - 1 AS BIGINT) << (({w} - CAST(j AS INTEGER)) * 4))) AS BIGINT)"
+    )
+    return f"""
+WITH b AS (SELECT source, md5(lower(trim(text))) AS h FROM documents),
+p AS (SELECT source, {hex2int} % {_ST_LC_M} AS bucket FROM b)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_used
+FROM p GROUP BY source
+"""
+
+
 def registry() -> dict:
     return {
         "st01_stream_dedup": (st01_stream_dedup, SQL_ST01),
@@ -343,4 +451,6 @@ def registry() -> dict:
         "st04_stream_enrich": (st04_stream_enrich, SQL_ST04),
         "st05_stream_cms": (st05_stream_cms, _sql_st05()),
         "st06_stream_quantiles": (st06_stream_quantiles, SQL_ST06),
+        "st07_stream_distinct": (st07_stream_distinct, _sql_st07()),
+        "st08_stream_stream_join": (st08_stream_stream_join, SQL_ST08),
     }

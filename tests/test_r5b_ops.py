@@ -16,7 +16,7 @@ import pytest
 from rsmetacheck_spark.queries import (
     _BK_K, _CONT_T, _QBIN_W,
     dd13_containment, q39_bottomk_sample, q40_sentence_stats,
-    q36_binned_quantiles,
+    q36_binned_quantiles, q41_bpe_merge_pairs, q42_trailing_orders,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -90,6 +90,245 @@ def test_dd13_containment_math(spark, docs):
         assert r.cont_a_micro == inter * 1000000 // len(sa)
         assert r.cont_b_micro == inter * 1000000 // len(sb)
         assert max(r.cont_a_micro, r.cont_b_micro) >= _CONT_T
+
+
+def test_q41_matches_python_reference(spark, docs):
+    from collections import Counter
+
+    wf = Counter()
+    for _id, _s, text, _l, _n in docs:
+        wf.update(_toks(text))
+    pc = Counter()
+    for w, freq in wf.items():
+        for i in range(len(w) - 1):
+            pc[w[i:i + 2]] += freq
+    expect = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = q41_bpe_merge_pairs(spark, SF).collect()
+    assert [(r.pair, r.n) for r in rows] == expect
+    assert all(len(r.pair) == 2 for r in rows)
+
+
+def test_q42_matches_python_reference(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    orders = duckdb.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    epoch = None
+    by_cust = defaultdict(list)
+    for ok, ck, tp, od in orders:
+        if epoch is None:
+            import datetime
+
+            epoch = datetime.date(1990, 1, 1)
+        d = (od - epoch).days
+        # mimic Spark's CAST(double AS DECIMAL(18,4)) — HALF_UP quantize
+        tpd = Decimal(tp).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        by_cust[ck].append((ok, d, tpd))
+    expect = {}
+    for ck, rows in by_cust.items():
+        for ok, d, _tp in rows:
+            prev = [r for r in rows if d - 90 <= r[1] <= d - 1]
+            s = sum((r[2] for r in prev), Decimal(0))
+            expect[ok] = (ck, len(prev), float(s))
+    got = q42_trailing_orders(spark, SF).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        assert (r.o_custkey, r.n_prev90, r.sum_prev90) == expect[r.o_orderkey]
+
+
+def test_q42_plan_is_join_free_single_exchange(spark):
+    plan = (
+        q42_trailing_orders(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_st07_constants_sync_with_dc01():
+    from rsmetacheck_spark.queries import _LC_M, _lc_width
+    from rsmetacheck_spark.streaming.oracle_rows import _ST_LC_M, _st_lc_width
+
+    assert _ST_LC_M == _LC_M
+    assert _st_lc_width() == _lc_width()
+
+
+def test_st07_stream_equals_dc01_batch(spark):
+    from rsmetacheck_spark.queries import dc01_distinct_sketch
+    from rsmetacheck_spark.streaming.oracle_rows import st07_stream_distinct
+
+    got = {
+        (r.source, r.n_rows, r.n_used)
+        for r in st07_stream_distinct(spark, SF).collect()
+    }
+    want = {
+        (r.source, r.n_rows, r.n_used)
+        for r in dc01_distinct_sketch(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_q43_matches_python_reference(spark, docs):
+    order = sorted((n, doc_id) for doc_id, _s, _t, _l, n in docs)
+    expect = {doc_id: (n, rk) for rk, (n, doc_id) in enumerate(order, start=1)}
+    from rsmetacheck_spark.queries import q43_global_rank
+
+    rows = q43_global_rank(spark, SF).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert (r.n_chars, r.rnk) == expect[r.doc_id]
+
+
+def test_q43_plan_broadcasts_offsets(spark):
+    from rsmetacheck_spark.queries import q43_global_rank
+
+    plan = (
+        q43_global_rank(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def _km_python_assign(vecs):
+    """Python mirror of km01's fixed-point assignment."""
+    import math
+
+    q = {
+        vid: [math.floor(float(x) * 1000 + 0.5) for x in emb]
+        for vid, emb in vecs
+    }
+    seeds = [q[vid] for vid in sorted(q)[:8]]
+    asg = {}
+    for vid, qv in q.items():
+        dists = [sum((a - b) * (a - b) for a, b in zip(qv, c)) for c in seeds]
+        asg[vid] = dists.index(min(dists))
+    return asg
+
+
+def test_dd14_matches_python_reference(spark):
+    import math
+
+    vecs = duckdb.sql(
+        "SELECT vec_id, embedding"
+        f" FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    asg = _km_python_assign(vecs)
+    unit = {}
+    for vid, emb in vecs:
+        v = [float(x) for x in emb]
+        n = math.sqrt(sum(x * x for x in v))
+        unit[vid] = [x / n for x in v]
+
+    def r6(x: float) -> float:  # HALF_UP like Spark/DuckDB round()
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    dup = set()
+    ids = sorted(asg)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if asg[a] != asg[b]:
+                continue
+            cos = r6(sum(x * y for x, y in zip(unit[a], unit[b])))
+            if cos >= 0.45:
+                dup.add(b)
+    from rsmetacheck_spark.queries import dd14_semantic_dedup
+
+    rows = dd14_semantic_dedup(spark, SF).collect()
+    assert len(rows) == len(asg)
+    assert dup, "expected at least one within-cluster near-duplicate"
+    for r in rows:
+        assert r.cluster_id == asg[r.vec_id]
+        assert r.keep == (r.vec_id not in dup)
+
+
+def test_st08_matches_python_reference(spark):
+    events = duckdb.sql(
+        "SELECT event_id, user_id, ts"
+        f" FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    follow = defaultdict(list)
+    by_user = defaultdict(list)
+    for eid, uid, ts in events:
+        by_user[uid].append((eid, ts))
+    for uid, rows in by_user.items():
+        for aid, ats in rows:
+            for bid, bts in rows:
+                dt = (bts - ats).total_seconds()
+                if 0 < dt <= 600:
+                    follow[aid].append(bid)
+    expect = {a: (len(bs), max(bs)) for a, bs in follow.items()}
+    from rsmetacheck_spark.streaming.oracle_rows import st08_stream_stream_join
+
+    got = st08_stream_stream_join(spark, SF).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        assert (r.n_follow, r.last_b) == expect[r.a_id]
+
+
+def test_sim08_matches_python_reference(spark):
+    import math
+
+    vecs = duckdb.sql(
+        "SELECT vec_id, embedding"
+        f" FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    asg = _km_python_assign(vecs)
+    unit = {}
+    for vid, emb in vecs:
+        v = [float(x) for x in emb]
+        n = math.sqrt(sum(x * x for x in v))
+        unit[vid] = [x / n for x in v]
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    by_cluster = defaultdict(list)
+    for vid, cid in asg.items():
+        by_cluster[cid].append(vid)
+    knn = {}
+    cos = {}
+    for cid, members in by_cluster.items():
+        for a in members:
+            scored = []
+            for b in members:
+                if a == b:
+                    continue
+                c = r6(sum(x * y for x, y in zip(unit[a], unit[b])))
+                cos[(a, b)] = c
+                scored.append((-c, b))
+            knn[a] = {b for _negc, b in sorted(scored)[:3]}
+    expect = {
+        (a, b, cos[(a, b)])
+        for a, nbrs in knn.items()
+        for b in nbrs
+        if a < b and a in knn.get(b, set())
+    }
+    from rsmetacheck_spark.queries import sim08_mutual_knn
+
+    got = {(r.id_a, r.id_b, r.cos_sim) for r in sim08_mutual_knn(spark, SF).collect()}
+    assert got == expect and len(got) > 0
+
+
+def test_q44_matches_python_reference(spark, docs):
+    df_cnt = defaultdict(int)
+    for _id, _s, text, _l, _n in docs:
+        for tok in set(_toks(text)):
+            df_cnt[tok] += 1
+    n_docs = len(docs)
+    expect = {
+        tok: (df, df * 1000000 // n_docs)
+        for tok, df in df_cnt.items()
+        if df * 100 >= n_docs * 30
+    }
+    from rsmetacheck_spark.queries import q44_stopword_df
+
+    rows = q44_stopword_df(spark, SF).collect()
+    assert len(rows) == len(expect) > 0
+    for r in rows:
+        assert (r.df, r.df_micro) == expect[r.tok]
+        assert r.n_docs == n_docs
 
 
 def test_st06_constants_sync_with_q36():
