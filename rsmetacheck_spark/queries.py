@@ -4264,9 +4264,10 @@ def sim08_mutual_knn(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_sim08() -> str:
-    return f"""
-WITH {_SQL_KM01_CTES},
+def _sql_sim08_ctes() -> str:
+    """The sim08 pipeline as a reusable CTE chain ending in `mknn`
+    (mutual-kNN edges, id_a < id_b). Consumed by sim08/g01/g02."""
+    return f"""{_SQL_KM01_CTES},
 ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 un AS (SELECT vec_id,
               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
@@ -4281,11 +4282,15 @@ knn AS (
   SELECT id_a, id_b, cos_sim FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
                                  ORDER BY cos_sim DESC, id_b ASC) AS rk
-    FROM sc2) WHERE rk <= {_MKNN_K})
-SELECT k.id_a, k.id_b, k.cos_sim
-FROM knn k JOIN knn r ON r.id_a = k.id_b AND r.id_b = k.id_a
-WHERE k.id_a < k.id_b
-"""
+    FROM sc2) WHERE rk <= {_MKNN_K}),
+mknn AS (
+  SELECT k.id_a, k.id_b, k.cos_sim
+  FROM knn k JOIN knn r ON r.id_a = k.id_b AND r.id_b = k.id_a
+  WHERE k.id_a < k.id_b)"""
+
+
+def _sql_sim08() -> str:
+    return f"WITH {_sql_sim08_ctes()}\nSELECT id_a, id_b, cos_sim FROM mknn"
 
 
 _SW_DF_MIN_PCT = 30  # report tokens present in >= 30% of documents
@@ -4325,6 +4330,107 @@ tot AS (SELECT COUNT(*) AS n_docs FROM documents)
 SELECT tok, df, n_docs, df * 1000000 // n_docs AS df_micro
 FROM df_t, tot
 WHERE df * 100 >= n_docs * {_SW_DF_MIN_PCT}
+"""
+
+
+def _sim08_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The mutual-kNN edge set (id_a < id_b), checkpointed: g01/g02
+    both consume it several times (triangle closure reads it three
+    ways; PageRank reads it symmetrized + for degrees), so one scratch
+    write prices the whole graph family — the dd02-signature pattern."""
+    return _checkpoint(
+        sim08_mutual_knn(spark, sf).select("id_a", "id_b"),
+        "sim08_edges",
+        key=f"sim08_edges:{_sfkey(sf)}",
+    )
+
+
+def g01_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node TRIANGLE COUNTS over the mutual-kNN graph — the local
+    clustering signal (a doc whose neighbors also neighbor each other
+    sits inside a dense near-dup community, not a hub artifact).
+    Spark shape: the canonical two-equi-join closure on ORIENTED edges
+    (id_a < id_b), the MapReduce triangle-counting standard: wedges
+    (a<b<c) come from joining the edge list to itself on the middle
+    node, then one more equi-join checks the closing (a,c) edge — every
+    join is a keyed equi-join on the (small) edge list, nothing
+    quadratic in nodes. Orientation means each triangle is produced
+    exactly once, then credited to all three corners."""
+    e = _sim08_edges(spark, sf)
+    ab = e.selectExpr("id_a AS a", "id_b AS b")
+    bc = e.selectExpr("id_a AS b", "id_b AS c")
+    ac = e.selectExpr("id_a AS a", "id_b AS c")
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    return (
+        tri.selectExpr("explode(array(a, b, c)) AS vec_id")
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_tri"))
+    )
+
+
+def _sql_g01() -> str:
+    return f"""
+WITH {_sql_sim08_ctes()},
+tri AS (
+  SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c
+  FROM mknn ab
+  JOIN mknn bc ON bc.id_a = ab.id_b
+  JOIN mknn ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM (SELECT unnest([a, b, c]) AS vec_id FROM tri)
+GROUP BY vec_id
+"""
+
+
+def g02_pagerank_iteration(spark: SparkSession, sf: str) -> DataFrame:
+    """One PAGERANK power iteration over the mutual-kNN graph from a
+    uniform start — the representative iterative graph algorithm, same
+    one-oracle-checkable-round framing as km01 (a full PageRank is this
+    plan in a driver loop over a checkpointed rank table). Exact
+    FIXED-POINT arithmetic: rank mass is integer micro-units, each
+    node's contribution is 10^6 div degree, and the damped update is
+    150000 + 850000·(inbound sum) div 10^6 — sums of integers are
+    order-independent, so both engines agree bitwise (float PageRank
+    would not). Spark shape: symmetrize the edge list (unioned
+    projections, no shuffle), one groupBy for degrees, one equi-join +
+    groupBy for inbound mass, two left joins back to the node table —
+    every shuffle is on node id, partial-aggregated map-side."""
+    e = _sim08_edges(spark, sf)
+    sym = e.selectExpr("id_a AS src", "id_b AS dst").union(
+        e.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    contrib = deg.selectExpr("src", "1000000 div deg AS c")
+    inb = sym.join(contrib, "src").groupBy("dst").agg(F.sum("c").alias("s"))
+    nodes = _t(spark, sf, "embeddings").select("vec_id")
+    return (
+        nodes.join(deg.selectExpr("src AS vec_id", "deg"), "vec_id", "left")
+        .join(inb.selectExpr("dst AS vec_id", "s"), "vec_id", "left")
+        .selectExpr(
+            "vec_id",
+            "CAST(coalesce(deg, 0) AS BIGINT) AS deg",
+            "CAST(150000 + (850000 * coalesce(s, 0)) div 1000000"
+            " AS BIGINT) AS pr_micro",
+        )
+    )
+
+
+def _sql_g02() -> str:
+    return f"""
+WITH {_sql_sim08_ctes()},
+sym AS (SELECT id_a AS src, id_b AS dst FROM mknn
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM mknn),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+contrib AS (SELECT src, 1000000 // deg AS c FROM deg),
+inb AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS s
+        FROM sym JOIN contrib USING (src) GROUP BY dst)
+SELECT e.vec_id,
+       CAST(COALESCE(deg.deg, 0) AS BIGINT) AS deg,
+       CAST(150000 + (850000 * COALESCE(inb.s, 0)) // 1000000
+            AS BIGINT) AS pr_micro
+FROM embeddings e
+LEFT JOIN deg ON deg.src = e.vec_id
+LEFT JOIN inb ON inb.dst = e.vec_id
 """
 
 
@@ -4407,6 +4513,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q43_global_rank": (q43_global_rank, SQL_Q43),
     "sim08_mutual_knn": (sim08_mutual_knn, _sql_sim08()),
     "q44_stopword_df": (q44_stopword_df, _sql_q44()),
+    "g01_triangle_counts": (g01_triangle_counts, _sql_g01()),
+    "g02_pagerank_iteration": (g02_pagerank_iteration, _sql_g02()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -4451,6 +4559,8 @@ _FRONT = [
     "st08_stream_stream_join",
     "sim08_mutual_knn",
     "q44_stopword_df",
+    "g01_triangle_counts",
+    "g02_pagerank_iteration",
     # recompiled this session by the _dd05_unit/_km01_assigned refactors —
     # same outputs (locally re-MATCHed), but they need fresh driver rows
     "dd05_embedding_pairs",

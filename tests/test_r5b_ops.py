@@ -267,13 +267,10 @@ def test_st08_matches_python_reference(spark):
         assert (r.n_follow, r.last_b) == expect[r.a_id]
 
 
-def test_sim08_matches_python_reference(spark):
+def _python_mknn(vecs):
+    """Python mirror of sim08: mutual-kNN edges {(a, b, cos)} with a < b."""
     import math
 
-    vecs = duckdb.sql(
-        "SELECT vec_id, embedding"
-        f" FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
-    ).fetchall()
     asg = _km_python_assign(vecs)
     unit = {}
     for vid, emb in vecs:
@@ -299,16 +296,70 @@ def test_sim08_matches_python_reference(spark):
                 cos[(a, b)] = c
                 scored.append((-c, b))
             knn[a] = {b for _negc, b in sorted(scored)[:3]}
-    expect = {
+    return {
         (a, b, cos[(a, b)])
         for a, nbrs in knn.items()
         for b in nbrs
         if a < b and a in knn.get(b, set())
     }
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    return duckdb.sql(
+        "SELECT vec_id, embedding"
+        f" FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+
+
+def test_sim08_matches_python_reference(spark, vecs):
+    expect = _python_mknn(vecs)
     from rsmetacheck_spark.queries import sim08_mutual_knn
 
     got = {(r.id_a, r.id_b, r.cos_sim) for r in sim08_mutual_knn(spark, SF).collect()}
     assert got == expect and len(got) > 0
+
+
+def test_g01_matches_python_reference(spark, vecs):
+    edges = {(a, b) for a, b, _c in _python_mknn(vecs)}
+    n_tri = defaultdict(int)
+    es = sorted(edges)
+    for a, b in es:
+        for b2, c in es:
+            if b2 != b:
+                continue
+            if (a, c) in edges:
+                for v in (a, b, c):
+                    n_tri[v] += 1
+    from rsmetacheck_spark.queries import g01_triangle_counts
+
+    rows = g01_triangle_counts(spark, SF).collect()
+    assert {(r.vec_id, r.n_tri) for r in rows} == set(n_tri.items())
+    assert len(rows) > 0
+
+
+def test_g02_matches_python_reference(spark, vecs):
+    edges = {(a, b) for a, b, _c in _python_mknn(vecs)}
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    all_ids = [vid for vid, _e in vecs]
+    expect = {}
+    for v in all_ids:
+        deg = len(nbrs[v])
+        s = sum(1000000 // len(nbrs[u]) for u in nbrs[v])
+        expect[v] = (deg, 150000 + (850000 * s) // 1000000)
+    from rsmetacheck_spark.queries import g02_pagerank_iteration
+
+    rows = g02_pagerank_iteration(spark, SF).collect()
+    assert len(rows) == len(all_ids)
+    for r in rows:
+        assert (r.deg, r.pr_micro) == expect[r.vec_id]
+    # PageRank mass sanity: total micro-mass stays near n * 10^6
+    # (integer floor division only ever loses mass)
+    total = sum(pr for _d, pr in expect.values())
+    assert total <= len(all_ids) * 1_000_000
 
 
 def test_q44_matches_python_reference(spark, docs):
