@@ -4434,6 +4434,134 @@ LEFT JOIN inb ON inb.dst = e.vec_id
 """
 
 
+def dd15_tfidf_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF-WEIGHTED similarity components over the dd02 LSH candidate
+    pairs — the sparse-vector refinement of dd12's raw-count weighting:
+    rare shared terms dominate, boilerplate terms vanish. Weights are
+    exact integers (w = tf · idf_milli, idf_milli = N·1000 div (df+1),
+    the q23 convention — float ln differs in the last ulp across libm
+    builds; at 10^12 docs the milli scale is re-based per corpus so w²
+    stays in 64 bits). Emits the raw sparse-dot components (dot, |a|²,
+    |b|²) so the caller derives cosine; keeping the division out keeps
+    the oracle bitwise. Scale shape mirrors dd12: candidates from the
+    shared banding checkpoint, weights joined per (doc, term) — two
+    keyed equi-joins with map-side combine, never all-pairs."""
+    cand, _mat = _dd02_candidates(spark, sf)
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    tf = (
+        d.selectExpr("doc_id", f"explode({toks}) AS term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.select(F.count("*").alias("n_docs"))
+    wt = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .selectExpr("doc_id", "term", "tf * ((n_docs * 1000) div (df + 1)) AS w")
+    )
+    norms = wt.groupBy("doc_id").agg(F.sum(F.expr("w * w")).alias("n2"))
+    dot = (
+        cand.join(wt.selectExpr("doc_id AS id_a", "term", "w AS w_a"), "id_a")
+        .join(wt.selectExpr("doc_id AS id_b", "term", "w AS w_b"), ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.expr("w_a * w_b")).alias("dot_w"))
+    )
+    return (
+        dot.join(norms.selectExpr("doc_id AS id_a", "n2 AS na2"), "id_a")
+        .join(norms.selectExpr("doc_id AS id_b", "n2 AS nb2"), "id_b")
+        .selectExpr(
+            "id_a", "id_b",
+            "CAST(dot_w AS BIGINT) AS dot_w",
+            "CAST(na2 AS BIGINT) AS na2",
+            "CAST(nb2 AS BIGINT) AS nb2",
+        )
+        .filter(F.col("dot_w") > 0)
+    )
+
+
+def _sql_dd15() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH {_sql_dd02_ctes()},
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({t}) AS term FROM documents)
+  GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+wt AS (
+  SELECT doc_id, term, CAST(tf * ((n_docs * 1000) // (df + 1)) AS BIGINT) AS w
+  FROM tf JOIN df USING (term), n),
+norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM wt GROUP BY doc_id),
+dt AS (
+  SELECT id_a, id_b, CAST(SUM(a.w * b.w) AS BIGINT) AS dot_w
+  FROM cand
+  JOIN wt a ON a.doc_id = cand.id_a
+  JOIN wt b ON b.doc_id = cand.id_b AND b.term = a.term
+  GROUP BY id_a, id_b)
+SELECT id_a, id_b, dot_w, na.n2 AS na2, nb.n2 AS nb2
+FROM dt JOIN norms na ON na.doc_id = dt.id_a JOIN norms nb ON nb.doc_id = dt.id_b
+WHERE dot_w > 0
+"""
+
+
+_SJ_SALT = 8       # salt fan-out for the skewed probe side
+_SJ_SAMPLE = 97    # emit every 97th doc (deterministic output sample)
+
+
+def q45_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit TWO-SIDED SALTED JOIN — the skew-join pattern for when
+    the dimension is too large to broadcast and one join key is hot (a
+    single crawl host owning 30% of rows): the fact side appends salt =
+    doc_id % S, the dim side is replicated S ways with an exploded salt
+    sequence, and the join key becomes (key, salt) — the hot key's rows
+    spread over S reducers instead of one straggler. The join is
+    hint('merge')-pinned to sort-merge so the demonstration is real
+    (Catalyst would otherwise broadcast this test-scale dim and the
+    salt would be decorative). Algebraically exact — every fact row
+    still meets exactly one dim replica — which the naive-join DuckDB
+    oracle proves (two-formulation, like q35/q39/q42/q43). AQE's
+    skewedJoin does this adaptively for sort-merge joins; the explicit
+    form also covers aggregation-free pipelines AQE can't rewrite."""
+    d = _t(spark, sf, "documents")
+    dim = (
+        d.groupBy("source").agg(F.sum("n_chars").alias("tot"))
+        .withColumn(
+            "src_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("tot"), F.asc("source"))
+            ).cast("long"),
+        )
+        .select("source", "src_rank")
+    )
+    dim_salted = dim.selectExpr(
+        "source", "src_rank",
+        f"explode(sequence(0, {_SJ_SALT - 1})) AS salt",
+    )
+    fact = d.selectExpr(
+        "doc_id", "source", f"CAST(doc_id % {_SJ_SALT} AS INT) AS salt"
+    )
+    return (
+        fact.join(dim_salted.hint("merge"), ["source", "salt"])
+        .filter(F.col("doc_id") % _SJ_SAMPLE == 0)
+        .select("doc_id", "source", "src_rank")
+    )
+
+
+SQL_Q45 = f"""
+WITH dim AS (
+  SELECT source,
+         CAST(ROW_NUMBER() OVER (ORDER BY SUM(n_chars) DESC, source ASC)
+              AS BIGINT) AS src_rank
+  FROM documents GROUP BY source)
+SELECT doc_id, d.source, src_rank
+FROM documents d JOIN dim USING (source)
+WHERE doc_id % {_SJ_SAMPLE} = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4515,6 +4643,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q44_stopword_df": (q44_stopword_df, _sql_q44()),
     "g01_triangle_counts": (g01_triangle_counts, _sql_g01()),
     "g02_pagerank_iteration": (g02_pagerank_iteration, _sql_g02()),
+    "dd15_tfidf_pairs": (dd15_tfidf_pairs, _sql_dd15()),
+    "q45_salted_join": (q45_salted_join, SQL_Q45),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -4561,6 +4691,8 @@ _FRONT = [
     "q44_stopword_df",
     "g01_triangle_counts",
     "g02_pagerank_iteration",
+    "dd15_tfidf_pairs",
+    "q45_salted_join",
     # recompiled this session by the _dd05_unit/_km01_assigned refactors —
     # same outputs (locally re-MATCHed), but they need fresh driver rows
     "dd05_embedding_pairs",

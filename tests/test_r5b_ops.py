@@ -382,6 +382,61 @@ def test_q44_matches_python_reference(spark, docs):
         assert r.n_docs == n_docs
 
 
+def test_dd15_matches_python_reference(spark, docs):
+    from collections import Counter
+
+    tf = {}
+    df_cnt = defaultdict(int)
+    for doc_id, _s, text, _l, _n in docs:
+        c = Counter(_toks(text))
+        tf[doc_id] = c
+        for t in c:
+            df_cnt[t] += 1
+    n_docs = len(docs)
+    w = {
+        doc_id: {t: c * ((n_docs * 1000) // (df_cnt[t] + 1)) for t, c in cc.items()}
+        for doc_id, cc in tf.items()
+    }
+    n2 = {doc_id: sum(x * x for x in ws.values()) for doc_id, ws in w.items()}
+    from rsmetacheck_spark.queries import dd15_tfidf_pairs
+
+    rows = dd15_tfidf_pairs(spark, SF).collect()
+    assert rows, "candidate set should produce at least one pair"
+    for r in rows:
+        wa, wb = w[r.id_a], w[r.id_b]
+        dot = sum(wa[t] * wb[t] for t in wa.keys() & wb.keys())
+        assert (r.dot_w, r.na2, r.nb2) == (dot, n2[r.id_a], n2[r.id_b])
+        assert r.dot_w > 0
+
+
+def test_q45_matches_python_reference(spark, docs):
+    tot = defaultdict(int)
+    for _id, source, _t, _l, n in docs:
+        tot[source] += n
+    ranked = sorted(tot.items(), key=lambda kv: (-kv[1], kv[0]))
+    rank = {s: i + 1 for i, (s, _t) in enumerate(ranked)}
+    expect = {
+        (doc_id, source, rank[source])
+        for doc_id, source, _t, _l, _n in docs
+        if doc_id % 97 == 0
+    }
+    from rsmetacheck_spark.queries import q45_salted_join
+
+    got = {tuple(r) for r in q45_salted_join(spark, SF).collect()}
+    assert got == expect and len(got) > 0
+
+
+def test_q45_plan_salted_sort_merge(spark):
+    from rsmetacheck_spark.queries import q45_salted_join
+
+    plan = (
+        q45_salted_join(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "salt" in plan, plan[:2000]
+
+
 def test_st06_constants_sync_with_q36():
     from rsmetacheck_spark.streaming.oracle_rows import _ST_QBIN_W
 
