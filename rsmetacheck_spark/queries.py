@@ -4715,10 +4715,20 @@ _FRONT = [
     "sim07_pq_adc_topk",
     "ev07_license_rules",
     "q32_pack_assignments",
+    # shingle-builder rewrite (round-5 zip_with perf fix) recompiles
+    # these three plans — same outputs, but they need fresh driver rows;
+    # ranked ABOVE the never-changed r4-unsampled block: with 94 entries
+    # the 50-cap can't cover everything, and changed-code rows matter
+    # more than re-confirming code that was driver-green in r2/r3
+    "dd02_minhash_lsh_pairs",
+    "dd03_jaccard_pairs",
+    "q27_contamination",
     "ev03_author_rules",
     "ev04_date_rules",
     "ev05_identifier_rules",
     "ev06_url_class_rules",
+    # r4-unsampled, code unchanged since their r2/r3 driver greens — the
+    # tail of this list is the part the 50-cap may cut
     "q01_pricing_summary",
     "q02_revenue_by_nation",
     "q03_topk_orders_per_priority",
@@ -4729,11 +4739,6 @@ _FRONT = [
     "q11_top_ngrams",
     "q12_fingerprints",
     "dd01_exact_groups",
-    # shingle-builder rewrite (round-5 zip_with perf fix) recompiles
-    # these three plans — same outputs, but they need fresh driver rows
-    "dd02_minhash_lsh_pairs",
-    "dd03_jaccard_pairs",
-    "q27_contamination",
 ]
 _BACK = [
     "dd04_simhash",
