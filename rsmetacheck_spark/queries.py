@@ -4562,6 +4562,113 @@ WHERE doc_id % {_SJ_SAMPLE} = 0
 """
 
 
+def q46_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 analog (shipping priority): three-table star join with
+    selective filters on every input and a top-10 by aggregated
+    revenue. The plan Catalyst should pick — and does — is: both date
+    filters pushed into the parquet scans, the filtered customer dim
+    BROADCAST (explicitly hinted, it is dim-sized by construction), the
+    orders⋈lineitem join keyed on orderkey, and TakeOrderedAndProject
+    for the LIMIT (never a global sort). Revenue follows the q01
+    DECIMAL(18,4) convention so partial aggregation is exact."""
+    c = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .selectExpr("c_custkey AS o_custkey")
+    )
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), "o_custkey")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .selectExpr(
+            "l_orderkey",
+            "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS odate",
+            "o_orderpriority", "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q46 = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+_Q47_QTY = 200  # large-order threshold (~p93 of per-order quantity sums)
+
+
+def q47_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 analog (large-volume customers): AGGREGATE-THEN-JOIN —
+    the heavy lineitem table collapses to per-order quantity sums
+    FIRST (partial aggregation shrinks the shuffle to one row per
+    order), the HAVING filter keeps the few large orders, and only
+    that small survivor set joins back to orders and the broadcast
+    customer dim. Joining first and aggregating after would shuffle
+    the full lineitem⋈orders product — the classic semi-join-pushdown
+    lesson. DECIMAL quantity sums per the q01 convention."""
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double").alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > _Q47_QTY)
+    )
+    o = _t(spark, sf, "orders").selectExpr(
+        "o_orderkey AS l_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = _t(spark, sf, "customer").selectExpr(
+        "c_custkey AS o_custkey", "c_name"
+    )
+    return (
+        big.join(o, "l_orderkey")
+        .join(F.broadcast(c), "o_custkey")
+        .selectExpr(
+            "l_orderkey AS o_orderkey", "c_name",
+            "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS odate",
+            "sum_qty",
+        )
+    )
+
+
+SQL_Q47 = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > {_Q47_QTY})
+SELECT o_orderkey, c_name,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate, sum_qty
+FROM big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4645,6 +4752,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "g02_pagerank_iteration": (g02_pagerank_iteration, _sql_g02()),
     "dd15_tfidf_pairs": (dd15_tfidf_pairs, _sql_dd15()),
     "q45_salted_join": (q45_salted_join, SQL_Q45),
+    "q46_shipping_priority": (q46_shipping_priority, SQL_Q46),
+    "q47_large_orders": (q47_large_orders, SQL_Q47),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -4693,6 +4802,8 @@ _FRONT = [
     "g02_pagerank_iteration",
     "dd15_tfidf_pairs",
     "q45_salted_join",
+    "q46_shipping_priority",
+    "q47_large_orders",
     # recompiled this session by the _dd05_unit/_km01_assigned refactors —
     # same outputs (locally re-MATCHed), but they need fresh driver rows
     "dd05_embedding_pairs",

@@ -437,6 +437,94 @@ def test_q45_plan_salted_sort_merge(spark):
     assert "salt" in plan, plan[:2000]
 
 
+def _dec4(x: float):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(x).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+
+
+def test_q46_matches_python_reference(spark):
+    li = duckdb.sql(
+        "SELECT l_orderkey, l_extendedprice, l_discount FROM"
+        f" read_parquet('{SF}/lineitem.parquet')"
+        " WHERE l_shipdate > TIMESTAMP '1998-01-01'"
+    ).fetchall()
+    orders = dict(
+        (ok, (ck, od, op))
+        for ok, ck, od, op in duckdb.sql(
+            "SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority FROM"
+            f" read_parquet('{SF}/orders.parquet')"
+            " WHERE o_orderdate < TIMESTAMP '1998-01-01'"
+        ).fetchall()
+    )
+    building = {
+        r[0]
+        for r in duckdb.sql(
+            "SELECT c_custkey FROM"
+            f" read_parquet('{SF}/customer.parquet')"
+            " WHERE c_mktsegment = 'BUILDING'"
+        ).fetchall()
+    }
+    from decimal import Decimal
+
+    rev = defaultdict(lambda: Decimal(0))
+    meta = {}
+    for ok, ep, disc in li:
+        o = orders.get(ok)
+        if o is None or o[0] not in building:
+            continue
+        rev[ok] += _dec4(ep * (1 - disc))
+        meta[ok] = o
+    top = sorted(((-float(v), k) for k, v in rev.items()))[:10]
+    expect = [
+        (k, meta[k][1].strftime("%Y-%m-%d %H:%M:%S"), meta[k][2], -nv)
+        for nv, k in top
+    ]
+    from rsmetacheck_spark.queries import q46_shipping_priority
+
+    got = [tuple(r) for r in q46_shipping_priority(spark, SF).collect()]
+    assert got == expect and len(got) > 0
+
+
+def test_q47_matches_python_reference(spark):
+    li = duckdb.sql(
+        "SELECT l_orderkey, l_quantity FROM"
+        f" read_parquet('{SF}/lineitem.parquet')"
+    ).fetchall()
+    from decimal import Decimal
+
+    qty = defaultdict(lambda: Decimal(0))
+    for ok, q in li:
+        qty[ok] += _dec4(q)
+    orders = dict(
+        (ok, (ck, od))
+        for ok, ck, od in duckdb.sql(
+            "SELECT o_orderkey, o_custkey, o_orderdate FROM"
+            f" read_parquet('{SF}/orders.parquet')"
+        ).fetchall()
+    )
+    names = dict(
+        duckdb.sql(
+            f"SELECT c_custkey, c_name FROM read_parquet('{SF}/customer.parquet')"
+        ).fetchall()
+    )
+    expect = {
+        ok: (
+            names[orders[ok][0]],
+            orders[ok][1].strftime("%Y-%m-%d %H:%M:%S"),
+            float(s),
+        )
+        for ok, s in qty.items()
+        if float(s) > 200
+    }
+    from rsmetacheck_spark.queries import q47_large_orders
+
+    rows = q47_large_orders(spark, SF).collect()
+    assert len(rows) == len(expect) > 0
+    for r in rows:
+        assert (r.c_name, r.odate, r.sum_qty) == expect[r.o_orderkey]
+
+
 def test_st06_constants_sync_with_q36():
     from rsmetacheck_spark.streaming.oracle_rows import _ST_QBIN_W
 
