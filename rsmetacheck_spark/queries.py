@@ -4669,6 +4669,30 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q48_cube_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets over (lang, source) — all four aggregation
+    granularities (both, per-lang, per-source, grand total) in ONE
+    partial-aggregated pass instead of four scans, with grouping_id
+    disambiguating NULL-as-rollup from NULL-as-data. Complements q14's
+    ROLLUP (hierarchical prefixes) with the full lattice."""
+    f = _doc_feats(spark, sf)
+    return f.cube("lang", "source").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+SQL_Q48 = f"""
+WITH f AS ({_DOC_FEATS_SQL})
+SELECT lang, source,
+       CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM f GROUP BY CUBE (lang, source)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4754,6 +4778,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q45_salted_join": (q45_salted_join, SQL_Q45),
     "q46_shipping_priority": (q46_shipping_priority, SQL_Q46),
     "q47_large_orders": (q47_large_orders, SQL_Q47),
+    "q48_cube_stats": (q48_cube_stats, SQL_Q48),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -4804,6 +4829,7 @@ _FRONT = [
     "q45_salted_join",
     "q46_shipping_priority",
     "q47_large_orders",
+    "q48_cube_stats",
     # recompiled this session by the _dd05_unit/_km01_assigned refactors —
     # same outputs (locally re-MATCHed), but they need fresh driver rows
     "dd05_embedding_pairs",

@@ -525,6 +525,30 @@ def test_q47_matches_python_reference(spark):
         assert (r.c_name, r.odate, r.sum_qty) == expect[r.o_orderkey]
 
 
+def test_q48_matches_python_reference(spark, docs):
+    per = defaultdict(lambda: [0, 0])
+    for _id, source, text, lang, _n in docs:
+        nt = len(_toks(text))
+        for key, gid in (
+            ((lang, source), 0),
+            ((lang, None), 1),
+            ((None, source), 2),
+            ((None, None), 3),
+        ):
+            a = per[(key, gid)]
+            a[0] += 1
+            a[1] += nt
+    expect = {
+        (k[0], k[1], gid): tuple(v) for (k, gid), v in per.items()
+    }
+    from rsmetacheck_spark.queries import q48_cube_stats
+
+    rows = q48_cube_stats(spark, SF).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert (r.n_docs, r.sum_tokens) == expect[(r.lang, r.source, r.gid)]
+
+
 def test_st06_constants_sync_with_q36():
     from rsmetacheck_spark.streaming.oracle_rows import _ST_QBIN_W
 
