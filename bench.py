@@ -248,6 +248,10 @@ def main() -> None:
         "metric": "total_bench_sec",
         "value": result["total_sec"],
         "unit": "sec",
+        # registry keeps growing round over round, so total_bench_sec
+        # rises with COVERAGE, not regression — n_queries makes that
+        # readable; pinned_common_sec below is the like-for-like signal
+        "n_queries": len(result["queries"]),
         "queries": result["queries"],
         "sf": sf,
         "pipeline": result["pipeline"],

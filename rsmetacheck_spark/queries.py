@@ -4693,6 +4693,184 @@ FROM f GROUP BY CUBE (lang, source)
 """
 
 
+_HLL_M = 64       # registers (production: 2^14; 64 keeps the oracle table readable)
+_HLL_BITS = 44    # hash bits consumed per value (11 hex chars)
+
+
+def dc02_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
+    """True HYPERLOGLOG register table for per-source distinct-text
+    cardinality — the production sketch dc01's linear counting
+    approximates below m: register = 8 md5 bits mod m, value = the next
+    44 bits, rho = leading-zero count + 1, state = max(rho) per
+    (source, register). The state is ≤ sources × m rows, mergeable by
+    elementwise MAX across partitions, snapshots, and engines — and
+    because rho is an INTEGER (derived from bit length, never float
+    log2), the cross-engine gate is exact; the harmonic-mean estimate
+    α·m²/Σ2^-rho (with the standard small-range linear-counting
+    correction when empty registers remain — accuracy property-tested
+    in test_r5b_ops.py) is derived downstream of the gate."""
+    d = _t(spark, sf, "documents")
+    b = d.selectExpr("source", "md5(lower(trim(text))) AS h").selectExpr(
+        "source",
+        f"CAST(conv(substr(h, 1, 2), 16, 10) AS bigint) % {_HLL_M} AS reg",
+        "CAST(conv(substr(h, 3, 11), 16, 10) AS bigint) AS v",
+    )
+    rho = (
+        f"CASE WHEN v = 0 THEN {_HLL_BITS + 1}"
+        f" ELSE {_HLL_BITS} - length(bin(v)) + 1 END"
+    )
+    return (
+        b.selectExpr("source", "reg", f"CAST({rho} AS INT) AS rho")
+        .groupBy("source", "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def _sql_dc02() -> str:
+    def hex2int(expr: str, n: int) -> str:
+        return (
+            f"CAST(list_sum(list_transform(generate_series(1, {n}), j ->"
+            f" CAST(strpos('0123456789abcdef', substring({expr}, CAST(j AS INTEGER), 1))"
+            f" - 1 AS BIGINT) << (({n} - CAST(j AS INTEGER)) * 4))) AS BIGINT)"
+        )
+
+    return f"""
+WITH b AS (SELECT source, md5(lower(trim(text))) AS h FROM documents),
+p AS (
+  SELECT source,
+         {hex2int("substring(h, 1, 2)", 2)} % {_HLL_M} AS reg,
+         {hex2int("substring(h, 3, 11)", 11)} AS v
+  FROM b)
+SELECT source, reg,
+       CAST(MAX(CASE WHEN v = 0 THEN {_HLL_BITS + 1}
+                ELSE {_HLL_BITS} - length(printf('%b', v)) + 1 END)
+            AS INTEGER) AS max_rho
+FROM p GROUP BY source, reg
+"""
+
+
+_FUNNEL_GAP_S = 1800  # session gap, matching q05
+
+
+def q49_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """FUNNEL analysis over sessionized events: within each q05-style
+    session, did the user progress view → click → purchase in order of
+    FIRST occurrences (strict-order-of-firsts, the standard funnel
+    semantics)? One row out: session count and per-step survivor
+    counts. Shuffle story: the lag/cumsum sessionization is one window
+    over (user, time); the step logic is conditional MIN aggregation
+    per session (partial-aggregated); the final count is a 1-row
+    reduce. No joins at all — funnels over 10^12 events are windows +
+    aggregates, never self-joins per step."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                    > _FUNNEL_GAP_S
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "s_id",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    per = sess.groupBy("user_id", "s_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t2"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t3"),
+    )
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.col("t1").isNotNull().cast("long")).alias("n_view"),
+        F.sum(
+            (F.col("t1").isNotNull() & (F.col("t2") > F.col("t1")))
+            .cast("long")
+        ).alias("n_view_click"),
+        F.sum(
+            (
+                F.col("t1").isNotNull()
+                & (F.col("t2") > F.col("t1"))
+                & (F.col("t3") > F.col("t2"))
+            ).cast("long")
+        ).alias("n_view_click_purchase"),
+    )
+
+
+SQL_Q49 = f"""
+WITH s AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN prev_ts IS NULL
+                OR epoch(ts) - epoch(prev_ts) > {_FUNNEL_GAP_S}
+              THEN 1 ELSE 0 END AS new_s
+  FROM (SELECT user_id, event_id, ts, event_type,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events)),
+sid AS (
+  SELECT user_id, event_type, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS s_id
+  FROM s),
+per AS (
+  SELECT user_id, s_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+  FROM sid GROUP BY user_id, s_id)
+SELECT COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+FROM per
+"""
+
+
+def q50_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """RETENTION COHORTS: users grouped by first-activity date, counted
+    on each later active day as a day-offset — the table every
+    engagement dashboard renders. Two bounded aggregations: first-seen
+    per user (partial-aggregated MIN), then distinct (user, day) rows
+    joined back to the tiny per-user cohort and reduced to
+    (cohort, offset) counts. The join is keyed on user_id and the
+    distinct activity table is already user-partitioned, so the whole
+    query is two shuffles on the same key — co-partitioning AQE reuses."""
+    e = _t(spark, sf, "events").selectExpr(
+        "user_id", "CAST(ts AS DATE) AS day"
+    )
+    cohort = e.groupBy("user_id").agg(F.min("day").alias("c_day"))
+    act = e.distinct()
+    return (
+        act.join(cohort, "user_id")
+        .selectExpr(
+            "date_format(c_day, 'yyyy-MM-dd') AS cohort",
+            "datediff(day, c_day) AS d",
+        )
+        .groupBy("cohort", "d")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+SQL_Q50 = """
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+cohort AS (SELECT user_id, MIN(day) AS c_day FROM e GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, day FROM e)
+SELECT strftime(c_day, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', c_day, day) AS INTEGER) AS d,
+       COUNT(*) AS n_users
+FROM act JOIN cohort USING (user_id)
+GROUP BY c_day, d
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4779,6 +4957,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q46_shipping_priority": (q46_shipping_priority, SQL_Q46),
     "q47_large_orders": (q47_large_orders, SQL_Q47),
     "q48_cube_stats": (q48_cube_stats, SQL_Q48),
+    "dc02_hll_registers": (dc02_hll_registers, _sql_dc02()),
+    "q49_funnel": (q49_funnel, SQL_Q49),
+    "q50_retention": (q50_retention, SQL_Q50),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -4830,6 +5011,9 @@ _FRONT = [
     "q46_shipping_priority",
     "q47_large_orders",
     "q48_cube_stats",
+    "dc02_hll_registers",
+    "q49_funnel",
+    "q50_retention",
     # recompiled this session by the _dd05_unit/_km01_assigned refactors —
     # same outputs (locally re-MATCHed), but they need fresh driver rows
     "dd05_embedding_pairs",

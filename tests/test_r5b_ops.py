@@ -549,6 +549,113 @@ def test_q48_matches_python_reference(spark, docs):
         assert (r.n_docs, r.sum_tokens) == expect[(r.lang, r.source, r.gid)]
 
 
+def test_dc02_matches_python_hll_reference(spark, docs):
+    regs = defaultdict(int)
+    seen = defaultdict(set)
+    for _id, source, text, _l, _n in docs:
+        h = hashlib.md5(text.lower().strip(" ").encode()).hexdigest()
+        seen[source].add(h)
+        reg = int(h[:2], 16) % 64
+        v = int(h[2:13], 16)
+        rho = 45 if v == 0 else 44 - v.bit_length() + 1
+        k = (source, reg)
+        regs[k] = max(regs[k], rho)
+    from rsmetacheck_spark.queries import dc02_hll_registers
+
+    rows = dc02_hll_registers(spark, SF).collect()
+    assert {(r.source, r.reg) for r in rows} == set(regs)
+    for r in rows:
+        assert r.max_rho == regs[(r.source, r.reg)]
+    # estimate sanity per source, with HLL's standard small-range
+    # correction (raw harmonic estimate < 2.5m with empty registers →
+    # linear counting over the same register table) — at truth << m the
+    # raw estimator is known-biased, which is exactly why the correction
+    # exists
+    import math
+
+    by_src = defaultdict(dict)
+    for (source, reg), rho in regs.items():
+        by_src[source][reg] = rho
+    for source, rr in by_src.items():
+        m = 64
+        s = sum(2.0 ** -rr.get(i, 0) for i in range(m))
+        est = 0.709 * m * m / s
+        empty = m - len(rr)
+        if est < 2.5 * m and empty > 0:
+            est = m * math.log(m / empty)
+        truth = len(seen[source])
+        assert 0.6 * truth < est < 1.5 * truth, (source, est, truth)
+
+
+def _strip_mimic(text: str) -> str:
+    return text
+
+
+def test_q49_matches_python_reference(spark):
+    events = duckdb.sql(
+        "SELECT user_id, event_id, ts, event_type FROM"
+        f" read_parquet('{SF}/events.parquet') ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    by_user = defaultdict(list)
+    for uid, eid, ts, et in events:
+        by_user[uid].append((ts, eid, et))
+    sessions = []
+    for uid, rows in by_user.items():
+        cur = []
+        prev = None
+        for ts, eid, et in rows:
+            if prev is not None and (ts - prev).total_seconds() > 1800:
+                sessions.append(cur)
+                cur = []
+            cur.append((ts, et))
+            prev = ts
+        sessions.append(cur)
+    n_s = len(sessions)
+    n1 = n2 = n3 = 0
+    for sess in sessions:
+        t1 = min((ts for ts, et in sess if et == "view"), default=None)
+        t2 = min((ts for ts, et in sess if et == "click"), default=None)
+        t3 = min((ts for ts, et in sess if et == "purchase"), default=None)
+        if t1 is not None:
+            n1 += 1
+            if t2 is not None and t2 > t1:
+                n2 += 1
+                if t3 is not None and t3 > t2:
+                    n3 += 1
+    from rsmetacheck_spark.queries import q49_funnel
+
+    r = q49_funnel(spark, SF).collect()[0]
+    assert (r.n_sessions, r.n_view, r.n_view_click,
+            r.n_view_click_purchase) == (n_s, n1, n2, n3)
+    assert n_s >= n1 >= n2 >= n3 and n1 > 0
+
+
+def test_q50_matches_python_reference(spark):
+    events = duckdb.sql(
+        "SELECT user_id, CAST(ts AS DATE) FROM"
+        f" read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    first = {}
+    act = set()
+    for uid, day in events:
+        act.add((uid, day))
+        if uid not in first or day < first[uid]:
+            first[uid] = day
+    agg = defaultdict(int)
+    for uid, day in act:
+        c = first[uid]
+        agg[(c.strftime("%Y-%m-%d"), (day - c).days)] += 1
+    from rsmetacheck_spark.queries import q50_retention
+
+    rows = q50_retention(spark, SF).collect()
+    assert {(r.cohort, r.d, r.n_users) for r in rows} == {
+        (c, d, n) for (c, d), n in agg.items()
+    }
+    # every cohort has its day-0 row and it's the cohort's size
+    day0 = {c: n for (c, d), n in agg.items() if d == 0}
+    assert day0 and all(n > 0 for n in day0.values())
+
+
 def test_st06_constants_sync_with_q36():
     from rsmetacheck_spark.streaming.oracle_rows import _ST_QBIN_W
 
