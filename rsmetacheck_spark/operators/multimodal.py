@@ -227,6 +227,71 @@ def sample_frames(
 # the byte stride for PIL.Image.resize with the same 1:1 contract).
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Patch grid: ViT-style patchify — the payload is treated as a row-major
+# byte matrix (PATCH_ROW_W bytes per pixel-row, ragged tail dropped) and
+# cut into non-overlapping PATCH×PATCH tiles, one output row per tile.
+# This is the 2-D slicing contract a vision tokenizer needs; a real
+# deployment swaps the byte gather for decoded-pixel gather with the same
+# (media_id, gx, gy) emit shape.
+# ---------------------------------------------------------------------------
+
+PATCH = 8        # tile side, bytes
+PATCH_ROW_W = 16  # matrix row width, bytes
+
+PATCH_SCHEMA = (
+    "media_id long, gx int, gy int, n int, sum_bytes long, "
+    "patch_md5 string, patch_error string"
+)
+
+
+def patch_grid(
+    df: DataFrame, patch: int = PATCH, row_w: int = PATCH_ROW_W
+) -> DataFrame:
+    """media rows -> one row per PATCH×PATCH tile of the byte matrix.
+
+    Tile (gx, gy) gathers bytes [(gy*P+ry)*row_w + gx*P, +P) for
+    ry in 0..P-1 — pure integer arithmetic, so an ANSI-SQL oracle can
+    rebuild every tile from the payload hex. The checksum is over the
+    tile bytes' hex text (DuckDB md5 is VARCHAR-only). Payloads shorter
+    than one full tile row-band emit nothing; a bad payload emits one
+    gx=-1 row with patch_error set (reference-style isolation,
+    detect_pitfalls_main.py:356-358)."""
+    nx = row_w // patch
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "gx", "gy", "n", "sum_bytes",
+            "patch_md5", "patch_error",
+        ]
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    b = bytes(r["payload"])
+                    ny = (len(b) // row_w) // patch
+                    for gy in range(ny):
+                        for gx in range(nx):
+                            t = b"".join(
+                                b[(gy * patch + ry) * row_w + gx * patch:
+                                  (gy * patch + ry) * row_w + gx * patch + patch]
+                                for ry in range(patch)
+                            )
+                            rows.append((
+                                int(r["media_id"]), gx, gy, len(t), sum(t),
+                                hashlib.md5(t.hex().encode()).hexdigest(),
+                                None,
+                            ))
+                except Exception as e:  # noqa: BLE001 — reference-style isolation
+                    rows.append((
+                        int(r["media_id"]), -1, -1, 0, 0, None,
+                        f"{type(e).__name__}: {e}",
+                    ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, PATCH_SCHEMA)
+
+
 RESIZE_STRIDE = 4
 
 RESIZED_SCHEMA = (

@@ -4871,6 +4871,339 @@ GROUP BY c_day, d
 """
 
 
+def q51_bpe_apply_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE training iteration TWO: apply the winning merge from the q41
+    candidate table to the vocabulary IN SYMBOL SPACE, then recount
+    adjacent-pair frequencies over the merged symbol sequences. This is
+    the part q41 alone can't exercise — after one merge, symbols are no
+    longer single characters, so pairs must be counted over explicit
+    symbol arrays (space-joined here), not character bigrams.
+
+    Spark-first shape: the whole iteration stays vocab-sized. The corpus
+    collapses to (word, freq) once (one groupBy), the argmax merge is a
+    1-row broadcast (crossJoin of a LIMIT 1 — never a driver collect),
+    the merge application is a map-only string rewrite whose
+    left-to-right non-overlapping `replace` semantics are exactly BPE's
+    greedy single-pass merge, and the recount is one more map-side
+    combinable groupBy. At 100 TB of text the vocab is a few million
+    rows, so every stage after the first groupBy is centimeters wide;
+    iterating K merges is K broadcast-joined map passes, no shuffle
+    growth. Reference analog: the reference tokenizes per-document in
+    Python (somef utils); this is the trainer-side primitive a data
+    pipeline needs instead."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    wf = (
+        d.selectExpr(f"explode({toks}) AS w")
+        .groupBy("w").agg(F.count("*").alias("freq"))
+        .filter("length(w) >= 2")
+    )
+    top1 = (
+        wf.selectExpr(
+            "explode(transform(sequence(1, length(w) - 1),"
+            " i -> substring(w, i, 2))) AS pair",
+            "freq",
+        )
+        .groupBy("pair").agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair")).limit(1)
+        .selectExpr(
+            "substring(pair, 1, 1) AS a",
+            "substring(pair, 2, 1) AS b",
+            "pair AS merge",
+        )
+    )
+    merged = (
+        wf.crossJoin(F.broadcast(top1))
+        .selectExpr(
+            "merge",
+            # one char -> one symbol, space-joined; then the greedy
+            # non-overlapping left-to-right merge pass IS `replace`
+            "replace(array_join(transform(sequence(1, length(w)),"
+            "   i -> substring(w, i, 1)), ' '),"
+            " concat(a, ' ', b), merge) AS sym2",
+            "freq",
+        )
+        .filter("size(split(sym2, ' ')) >= 2")
+        .selectExpr(
+            "merge",
+            "explode(transform(sequence(1, size(split(sym2, ' ')) - 1),"
+            " i -> concat(element_at(split(sym2, ' '), i), ' ',"
+            "             element_at(split(sym2, ' '), i + 1)))) AS pair",
+            "freq",
+        )
+    )
+    return (
+        merged.groupBy("merge", "pair").agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_TOP)
+        .selectExpr("merge", "pair", "CAST(n AS BIGINT) AS n")
+    )
+
+
+def _sql_q51() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH wf AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest({t}) AS w FROM documents) GROUP BY w
+  HAVING length(w) >= 2),
+p1 AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+           i -> substring(w, CAST(i AS INTEGER), 2))) AS pair, freq
+  FROM wf),
+top1 AS (
+  SELECT substring(pair, 1, 1) AS a, substring(pair, 2, 1) AS b,
+         pair AS merge
+  FROM (SELECT pair, SUM(freq) AS n FROM p1 GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 1)),
+ap AS (
+  SELECT merge,
+         string_split(replace(
+           array_to_string(list_transform(generate_series(1, length(w)),
+             i -> substring(w, CAST(i AS INTEGER), 1)), ' '),
+           a || ' ' || b, merge), ' ') AS syms,
+         freq
+  FROM wf CROSS JOIN top1),
+p2 AS (
+  SELECT merge,
+         unnest(list_transform(generate_series(1, len(syms) - 1),
+           i -> syms[i] || ' ' || syms[i + 1])) AS pair,
+         freq
+  FROM ap WHERE len(syms) >= 2)
+SELECT merge, pair, CAST(SUM(freq) AS BIGINT) AS n
+FROM p2 GROUP BY merge, pair
+ORDER BY n DESC, pair ASC LIMIT {_BPE_TOP}
+"""
+
+
+def q52_mincost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 analog (min-cost supplier): for every STANDARD-type part,
+    the EUROPE supplier offering the lowest observed price, tie-broken
+    the Q2 way (account balance DESC, then suppkey).
+
+    Q2's textbook form is a correlated MIN subquery; the Spark-first
+    shape is ARGMIN VIA STRUCT MIN — one aggregate whose value is
+    min(struct(cost, -acctbal, suppkey, payload...)), which is
+    partial-aggregation friendly (map-side combine shrinks every
+    partition to one candidate per part before the shuffle), needs NO
+    rank window (a window would sort every group) and NO re-join of the
+    min back onto the offers. Dims (supplier⋈nation⋈region, part) are
+    broadcast. The DuckDB oracle keeps the naive ROW_NUMBER form — a
+    two-formulation equivalence proof like q35/q42."""
+    li = _t(spark, sf, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,4)")).alias("cost")
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(_t(spark, sf, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf, "region")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .selectExpr("s_suppkey AS l_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .selectExpr("p_partkey AS l_partkey", "p_type")
+    )
+    best = (
+        offers.join(F.broadcast(s), "l_suppkey")
+        .groupBy("l_partkey")
+        .agg(F.min(F.struct(
+            F.col("cost"),
+            (-F.col("s_acctbal")).alias("nb"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("s_name"), F.col("n_name"),
+        )).alias("m"))
+    )
+    return (
+        best.join(F.broadcast(p), "l_partkey")
+        .selectExpr(
+            "l_partkey AS p_partkey", "p_type",
+            "CAST(m.cost * 100 AS BIGINT) AS cost_cents",
+            "m.s_suppkey AS s_suppkey", "m.s_name AS s_name",
+            "m.n_name AS n_name",
+        )
+        .orderBy(F.asc("cost_cents"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+SQL_Q52 = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+s AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+ranked AS (
+  SELECT o.l_partkey, o.cost, s.s_suppkey, s.s_name, s.n_name,
+         ROW_NUMBER() OVER (PARTITION BY o.l_partkey
+           ORDER BY o.cost ASC, s.s_acctbal DESC, s.s_suppkey ASC) AS rk
+  FROM offers o JOIN s ON o.l_suppkey = s.s_suppkey)
+SELECT r.l_partkey AS p_partkey, p.p_type,
+       CAST(r.cost * 100 AS BIGINT) AS cost_cents,
+       r.s_suppkey, r.s_name, r.n_name
+FROM ranked r JOIN part p ON r.l_partkey = p.p_partkey
+WHERE r.rk = 1 AND p.p_type = 'STANDARD'
+ORDER BY cost_cents ASC, p_partkey ASC LIMIT 100
+"""
+
+
+_Q53_MIN_PARTS = 2  # parts on which a supplier must beat the average
+
+
+def q53_excess_shippers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 analog (excess-inventory suppliers): suppliers who
+    shipped STRICTLY ABOVE the per-part average quantity on at least
+    _Q53_MIN_PARTS distinct PROMO parts in 1996, with their nation.
+
+    Q20 is the classic nested-subquery chain (part → lineitem agg →
+    partsupp → supplier semi-join); re-expressed Spark-first: lineitem
+    collapses ONCE to (part, supp, qty) partials, the per-part total and
+    supplier count derive from a SECOND aggregation of those partials
+    (never a re-scan of lineitem), the above-average test is the
+    integer cross-multiply qty * n_supp > sum_qty (no float division,
+    exact at any scale), and the survivor set reduces to per-supplier
+    counts that SEMI-join the broadcast supplier⋈nation dim. Both scans
+    of the partials reuse the same shuffle key (l_partkey) so AQE reuses
+    the exchange. Quantities route through DECIMAL→BIGINT (they are
+    integral in the data) so every comparison is exact."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .selectExpr("p_partkey AS l_partkey")
+    )
+    per = (
+        li.join(F.broadcast(p), "l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+             .cast("bigint").alias("qty"))
+    )
+    totals = per.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.count("*").alias("n_supp"),
+    )
+    excess = (
+        per.join(totals, "l_partkey")
+        .filter(F.col("qty") * F.col("n_supp") > F.col("sum_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_excess_parts"))
+        .filter(F.col("n_excess_parts") >= _Q53_MIN_PARTS)
+    )
+    sn = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(_t(spark, sf, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .selectExpr("s_suppkey AS l_suppkey", "s_name", "n_name")
+    )
+    return excess.join(F.broadcast(sn), "l_suppkey").selectExpr(
+        "l_suppkey AS s_suppkey", "s_name", "n_name", "n_excess_parts"
+    )
+
+
+SQL_Q53 = f"""
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS BIGINT) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey),
+totals AS (
+  SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS n_supp
+  FROM per GROUP BY l_partkey),
+excess AS (
+  SELECT l_suppkey, COUNT(*) AS n_excess_parts
+  FROM per JOIN totals USING (l_partkey)
+  WHERE qty * n_supp > sum_qty
+  GROUP BY l_suppkey
+  HAVING COUNT(*) >= {_Q53_MIN_PARTS})
+SELECT e.l_suppkey AS s_suppkey, s.s_name, n.n_name,
+       CAST(e.n_excess_parts AS BIGINT) AS n_excess_parts
+FROM excess e
+JOIN supplier s ON e.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
+def mm04_patch_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """ViT-style PATCHIFY plumbing (the 2-D gather mm02's 1-D windows
+    don't exercise): image-kind media are cut into non-overlapping 8×8
+    tiles of a 16-byte-wide row-major byte matrix, one output row per
+    tile with exact tile features. The mapInPandas fan-out is map-only
+    (zero shuffle — partition lineage is preserved, same contract as
+    mm02), and the DuckDB oracle rebuilds the payload hex chain and
+    re-gathers every tile with pure integer arithmetic, so the 2-D
+    offset math and tile CONTENT are correctness-gated, not counted.
+    This is the tokenizer front-end shape for any vision model: swap the
+    byte gather for decoded pixels and the plan is unchanged."""
+    from .operators.multimodal import patch_grid, synth_media_from_docs
+
+    docs = _t(spark, sf, "documents")
+    media = synth_media_from_docs(docs).filter("kind = 'image'")
+    return patch_grid(media).select(
+        "media_id", "gx", "gy", "n", "sum_bytes", "patch_md5"
+    )
+
+
+def _sql_mm04() -> str:
+    from .operators.multimodal import MEDIA_SEED, PATCH, PATCH_ROW_W
+
+    hex2int = (
+        "CAST(list_sum(list_transform(generate_series(1, 8), j ->"
+        " CAST(strpos('0123456789abcdef', substring({h}, CAST(j AS INTEGER), 1)) - 1 AS BIGINT)"
+        " << ((8 - CAST(j AS INTEGER)) * 4))) AS BIGINT)"
+    )
+    sz_md5 = f"md5('{MEDIA_SEED}:' || CAST(doc_id AS VARCHAR) || ':sz')"
+    nib = "strpos('0123456789abcdef', substring(th, 2 * CAST(j AS INTEGER) - {o}, 1)) - 1"
+    p, rw = PATCH, PATCH_ROW_W
+    nx = rw // p
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         64 + ({hex2int.format(h=f'substring({sz_md5}, 1, 8)')} % 1985) AS size
+  FROM documents WHERE doc_id % 3 = 0),
+ph AS (
+  SELECT media_id, size,
+         substring(array_to_string(list_transform(
+             generate_series(0, CAST((size + 15) // 16 AS INTEGER) - 1),
+             b -> md5('{MEDIA_SEED}:' || CAST(media_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))), ''),
+           1, CAST(2 * size AS INTEGER)) AS phex
+  FROM m),
+g AS (
+  SELECT media_id, phex,
+         CAST(unnest(generate_series(0, CAST((size // {rw}) // {p} AS INTEGER) * {nx} - 1))
+           AS INTEGER) AS i
+  FROM ph WHERE (size // {rw}) // {p} >= 1),
+t AS (
+  SELECT media_id, i % {nx} AS gx, i // {nx} AS gy,
+         array_to_string(list_transform(generate_series(0, {p} - 1), ry ->
+           substring(phex,
+             CAST(2 * (((i // {nx}) * {p} + ry) * {rw} + (i % {nx}) * {p}) + 1 AS INTEGER),
+             {2 * p})), '') AS th
+  FROM g)
+SELECT media_id, CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
+       CAST({p} * {p} AS INTEGER) AS n,
+       CAST(list_sum(list_transform(generate_series(1, {p * p}),
+            j -> ({nib.format(o=1)}) * 16 + ({nib.format(o=0)}))) AS BIGINT) AS sum_bytes,
+       md5(th) AS patch_md5
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4960,6 +5293,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dc02_hll_registers": (dc02_hll_registers, _sql_dc02()),
     "q49_funnel": (q49_funnel, SQL_Q49),
     "q50_retention": (q50_retention, SQL_Q50),
+    "q51_bpe_apply_merge": (q51_bpe_apply_merge, _sql_q51()),
+    "q52_mincost_supplier": (q52_mincost_supplier, SQL_Q52),
+    "q53_excess_shippers": (q53_excess_shippers, SQL_Q53),
+    "mm04_patch_grid": (mm04_patch_grid, _sql_mm04()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -4991,6 +5328,11 @@ REGISTRY.update(_st_registry())
 # whose code is unchanged, so skipping them loses nothing (78 entries
 # total; the gate samples the first 50).
 _FRONT = [
+    # round-5c additions (never driver-sampled; newest first)
+    "q51_bpe_apply_merge",
+    "q52_mincost_supplier",
+    "q53_excess_shippers",
+    "mm04_patch_grid",
     # round-5b additions (never driver-sampled)
     "q39_bottomk_sample",
     "q40_sentence_stats",
