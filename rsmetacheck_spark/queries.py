@@ -5204,6 +5204,124 @@ FROM t
 """
 
 
+_HC_K = 4  # docs retained per source by the host cap
+
+
+def q54_host_quality_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host retention cap — the crawl-pipeline op that bounds any one
+    host's contribution to the corpus: keep the _HC_K highest-QUALITY
+    docs per source (integer milli score from the q20 rule weights;
+    ties broken by doc_id so the cap is a total order, reproducible
+    across runs and engines).
+
+    Scale shape: the same exact two-phase salted top-k as q39 — phase 1
+    ranks within (source, doc_id % salt) slices so no reducer ever sorts
+    a hot host's full row set (the entire point of a host cap is that
+    some hosts are ENORMOUS), phase 2 ranks the <= salt*k survivors.
+    A global top-k member is by definition within its own slice's top-k,
+    so the phases are exact. The DuckDB oracle keeps the naive single
+    ROW_NUMBER — a two-formulation equivalence proof."""
+    f = _doc_feats(spark, sf)
+    s = f.selectExpr(
+        "source", "doc_id",
+        f"CAST((CASE WHEN n_tokens BETWEEN {DOC_MIN_TOKENS} AND {DOC_MAX_TOKENS} THEN 400 ELSE 0 END)"
+        f" + (CASE WHEN stop_frac >= {DOC_MIN_STOP_FRAC} THEN 300 ELSE 0 END)"
+        f" + (CASE WHEN mean_word_len BETWEEN {TH.MIN_MEAN_WORD_LEN} AND {TH.MAX_MEAN_WORD_LEN} THEN 200 ELSE 0 END)"
+        f" + (CASE WHEN lang IN {DOC_KEEP_LANGS!r} THEN 100 ELSE 0 END) AS INT) AS score_milli",
+        f"doc_id % {_SALT_N} AS salt",
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy(
+        F.desc("score_milli"), F.asc("doc_id")
+    )
+    p1 = s.withColumn("rk1", F.row_number().over(w1)).filter(
+        F.col("rk1") <= _HC_K
+    )
+    w2 = Window.partitionBy("source").orderBy(
+        F.desc("score_milli"), F.asc("doc_id")
+    )
+    return (
+        p1.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _HC_K)
+        .selectExpr("source", "CAST(rk AS INT) AS rk", "doc_id", "score_milli")
+    )
+
+
+SQL_Q54 = f"""
+WITH f AS ({_DOC_FEATS_SQL}),
+s AS (
+  SELECT source, doc_id,
+         CAST((CASE WHEN n_tokens BETWEEN {DOC_MIN_TOKENS} AND {DOC_MAX_TOKENS} THEN 400 ELSE 0 END)
+            + (CASE WHEN stop_frac >= {DOC_MIN_STOP_FRAC} THEN 300 ELSE 0 END)
+            + (CASE WHEN mean_word_len BETWEEN {TH.MIN_MEAN_WORD_LEN} AND {TH.MAX_MEAN_WORD_LEN} THEN 200 ELSE 0 END)
+            + (CASE WHEN lang IN {DOC_KEEP_LANGS!r} THEN 100 ELSE 0 END) AS INTEGER) AS score_milli
+  FROM f)
+SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, score_milli FROM (
+  SELECT source, doc_id, score_milli,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score_milli DESC, doc_id ASC) AS rk
+  FROM s)
+WHERE rk <= {_HC_K}
+"""
+
+
+def q55_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM surprisal scoring — the KenLM-analog quality signal as
+    pure DataFrame ops, INTEGER-EXACT: each token's surprisal is
+    floor(log2(N / freq)) computed as bit-length arithmetic
+    (length(bin(N div c)) - 1, the dc02 idiom — no float log anywhere,
+    so the score is bit-identical across engines, partitionings, and
+    reruns). Per-doc output: token count, total surprisal bits, and
+    milli-mean bits/token — high mean = rare-token-heavy (gibberish or
+    OOD), low mean = repetitive boilerplate; both tails are what a
+    perplexity filter drops.
+
+    Scale shape: the corpus tokenizes once (map-only explode), the LM is
+    the vocab-sized freq table (one groupBy; a few million rows at
+    100 TB), the corpus total is a 1-row broadcast, scoring is a
+    BROADCAST hash join of tokens against the vocab (hinted — the token
+    stream never shuffles), and the per-doc reduce partial-aggregates
+    map-side. Upgrading to n-gram context = the same plan with an
+    n-gram key."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    tk = d.selectExpr("doc_id", f"explode({toks}) AS tok")
+    freq = tk.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    fb = (
+        freq.crossJoin(F.broadcast(total))
+        .selectExpr("tok", "CAST(length(bin(n div c)) - 1 AS BIGINT) AS bits")
+    )
+    return (
+        tk.join(F.broadcast(fb), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("bits").alias("surprisal_bits"),
+        )
+        .selectExpr(
+            "doc_id", "CAST(n_toks AS BIGINT) AS n_toks",
+            "CAST(surprisal_bits AS BIGINT) AS surprisal_bits",
+            "CAST(surprisal_bits * 1000 div n_toks AS BIGINT) AS mean_bits_milli",
+        )
+    )
+
+
+def _sql_q55() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH tk AS (SELECT doc_id, unnest({t}) AS tok FROM documents),
+freq AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+tot AS (SELECT SUM(c) AS n FROM freq),
+fb AS (
+  SELECT tok, CAST(length(printf('%b', CAST(n // c AS BIGINT))) - 1 AS BIGINT) AS bits
+  FROM freq CROSS JOIN tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+       CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
+       CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS mean_bits_milli
+FROM tk JOIN fb USING (tok) GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5297,6 +5415,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q52_mincost_supplier": (q52_mincost_supplier, SQL_Q52),
     "q53_excess_shippers": (q53_excess_shippers, SQL_Q53),
     "mm04_patch_grid": (mm04_patch_grid, _sql_mm04()),
+    "q54_host_quality_cap": (q54_host_quality_cap, SQL_Q54),
+    "q55_unigram_surprisal": (q55_unigram_surprisal, _sql_q55()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -5333,6 +5453,9 @@ _FRONT = [
     "q52_mincost_supplier",
     "q53_excess_shippers",
     "mm04_patch_grid",
+    "st09_stream_topk",
+    "q54_host_quality_cap",
+    "q55_unigram_surprisal",
     # round-5b additions (never driver-sampled)
     "q39_bottomk_sample",
     "q40_sentence_stats",

@@ -443,6 +443,53 @@ FROM p GROUP BY source
 """
 
 
+_ST09_K = 3  # trending users reported per hour
+
+
+def st09_stream_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming TOP-K ("trending users per hour"): watermarked windowed
+    per-user counts run to completion in COMPLETE mode, then the final
+    aggregation state is ranked — exactly what a production foreachBatch
+    emits per micro-batch. Rank is order-dependent and therefore not a
+    streaming operator; splitting it state-side (streaming, incremental,
+    bounded) / rank-side (per-emit, tiny: #windows × k output) is the
+    standard reformulation, and makes the result a pure function of the
+    input — so it sits behind the same batch-SQL oracle as everything
+    else. Tie-break (n DESC, user_id ASC) pins a total order."""
+    from .windows import hourly_user_counts_stream
+
+    events_path = os.path.join(sf, "events.parquet")
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(_as_stream_dir(events_path))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sink = _run_to_memory(hourly_user_counts_stream(stream), "complete")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("hour_s").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        spark.table(sink)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _ST09_K)
+        .select("hour_s", "rk", "user_id", "n")
+    )
+
+
+SQL_ST09 = f"""
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS h, user_id, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT h, user_id, n,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY n DESC, user_id ASC) AS rk
+  FROM c)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s, CAST(rk AS INTEGER) AS rk,
+       user_id, n
+FROM r WHERE rk <= {_ST09_K}
+"""
+
+
 def registry() -> dict:
     return {
         "st01_stream_dedup": (st01_stream_dedup, SQL_ST01),
@@ -453,4 +500,5 @@ def registry() -> dict:
         "st06_stream_quantiles": (st06_stream_quantiles, SQL_ST06),
         "st07_stream_distinct": (st07_stream_distinct, _sql_st07()),
         "st08_stream_stream_join": (st08_stream_stream_join, SQL_ST08),
+        "st09_stream_topk": (st09_stream_topk, SQL_ST09),
     }

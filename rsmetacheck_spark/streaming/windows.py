@@ -13,6 +13,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def hourly_user_counts_stream(events_stream: DataFrame) -> DataFrame:
+    """Watermarked per-(hour, user) event counts — the state a streaming
+    top-k ("trending users") query maintains. Rank itself is NOT a
+    streaming-supported operator; the consumer ranks the aggregation
+    state per emit (foreachBatch in production, the complete-mode sink
+    in the oracle row st09) — the state stays bounded at
+    (#open windows × #active users) regardless of stream length."""
+    return (
+        events_stream
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+            "user_id", "n",
+        )
+    )
+
+
 def hourly_event_counts_stream(events_stream: DataFrame) -> DataFrame:
     return (
         events_stream

@@ -239,3 +239,102 @@ def test_mm04_matches_python_patchify(spark):
 def test_mm04_is_map_only(spark):
     plan = _plan(mm04_patch_grid(spark, SF))
     assert "Exchange" not in plan, f"patchify shuffles:\n{plan[:2000]}"
+
+
+# ---------------------------------------------------------------------------
+# q54: per-host quality cap
+# ---------------------------------------------------------------------------
+
+
+def test_q54_matches_python_reference(spark):
+    from rsmetacheck_spark import thresholds as TH
+    from rsmetacheck_spark.queries import (
+        _HC_K, DOC_KEEP_LANGS, DOC_MAX_TOKENS, DOC_MIN_STOP_FRAC,
+        DOC_MIN_TOKENS, q54_host_quality_cap,
+    )
+
+    stopwords = set(TH.STOPWORD_UNION)
+
+    by_source = defaultdict(list)
+    for doc_id, source, text, lang in _rows(
+        "documents", "doc_id, source, text, lang"
+    ):
+        t = _toks(text)
+        n = len(t)
+        stop = round(sum(1 for x in t if x in stopwords) / max(n, 1), 6)
+        alnum = len(re.sub(r"[^a-z0-9]", "", text.lower()))
+        mwl = round(alnum / max(n, 1), 6)
+        score = (
+            (400 if DOC_MIN_TOKENS <= n <= DOC_MAX_TOKENS else 0)
+            + (300 if stop >= DOC_MIN_STOP_FRAC else 0)
+            + (200 if TH.MIN_MEAN_WORD_LEN <= mwl <= TH.MAX_MEAN_WORD_LEN else 0)
+            + (100 if lang in DOC_KEEP_LANGS else 0)
+        )
+        by_source[source].append((-score, doc_id))
+    expect = set()
+    for source, cands in by_source.items():
+        for rk, (neg, doc_id) in enumerate(sorted(cands)[:_HC_K], start=1):
+            expect.add((source, rk, doc_id, -neg))
+    rows = q54_host_quality_cap(spark, SF).collect()
+    got = {(r.source, r.rk, r.doc_id, r.score_milli) for r in rows}
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# q55: unigram surprisal
+# ---------------------------------------------------------------------------
+
+
+def test_q55_matches_python_reference(spark):
+    from rsmetacheck_spark.queries import q55_unigram_surprisal
+
+    freq = Counter()
+    doc_toks = {}
+    for doc_id, text in _rows("documents", "doc_id, text"):
+        t = _toks(text)
+        if t:
+            doc_toks[doc_id] = t
+            freq.update(t)
+    n_total = sum(freq.values())
+    bits = {tok: (n_total // c).bit_length() - 1 for tok, c in freq.items()}
+    rows = q55_unigram_surprisal(spark, SF).collect()
+    assert len(rows) == len(doc_toks)
+    for r in rows:
+        t = doc_toks[r.doc_id]
+        sb = sum(bits[x] for x in t)
+        assert (r.n_toks, r.surprisal_bits) == (len(t), sb)
+        assert r.mean_bits_milli == sb * 1000 // len(t)
+
+
+def test_q55_plan_broadcasts_vocab(spark):
+    from rsmetacheck_spark.queries import q55_unigram_surprisal
+
+    plan = _plan(q55_unigram_surprisal(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    # the token stream must not shuffle before the scoring join
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# st09: streaming top-k
+# ---------------------------------------------------------------------------
+
+
+def test_st09_matches_python_reference(spark):
+    from rsmetacheck_spark.streaming.oracle_rows import (
+        _ST09_K, st09_stream_topk,
+    )
+
+    counts = Counter()
+    for ts, user_id in _rows("events", "ts, user_id"):
+        counts[(ts.strftime("%Y-%m-%d %H:00:00"), user_id)] += 1
+    per_hour = defaultdict(list)
+    for (hour_s, user_id), n in counts.items():
+        per_hour[hour_s].append((-n, user_id))
+    expect = set()
+    for hour_s, cands in per_hour.items():
+        for rk, (neg, user_id) in enumerate(sorted(cands)[:_ST09_K], start=1):
+            expect.add((hour_s, rk, user_id, -neg))
+    rows = st09_stream_topk(spark, SF).collect()
+    got = {(r.hour_s, r.rk, r.user_id, r.n) for r in rows}
+    assert got == expect
