@@ -5322,6 +5322,82 @@ FROM tk JOIN fb USING (tok) GROUP BY doc_id
 """
 
 
+def q56_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram CONDITIONAL surprisal — q55 with one token of context, the
+    actual KenLM direction: each bigram occurrence scores
+    floor(log2(c1(w1) / c2(w1,w2))), an integer-exact stand-in for
+    -log2 p(w2|w1) (c2 <= c1 by construction, so the ratio is >= 1 and
+    bit-length arithmetic needs no guards). Per-doc totals separate
+    predictable running text (low bits/bigram) from token salad (high).
+
+    Scale shape: bigrams are formed MAP-SIDE from each doc's token array
+    (explode of adjacent pairs — the token stream is never self-joined),
+    the bigram LM table is one groupBy, its conditioning join against
+    the vocab-sized unigram table BROADCASTS the small side, and the
+    scoring join is a plain equi-join on (w1, w2) — at 100 TB the bigram
+    table outgrows broadcast range, so unlike q55 the scoring join is
+    left to AQE (shuffle hash join on the compound key), which is the
+    honest plan for an n-gram LM at scale."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    tt = d.selectExpr("doc_id", f"{toks} AS t")
+    bg = (
+        tt.filter("size(t) >= 2")
+        .selectExpr(
+            "doc_id",
+            "explode(transform(sequence(1, size(t) - 1),"
+            " i -> struct(element_at(t, i) AS w1,"
+            "             element_at(t, i + 1) AS w2))) AS b",
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c1 = (
+        tt.selectExpr("explode(t) AS w1")
+        .groupBy("w1").agg(F.count("*").alias("c1"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    bits = c2.join(F.broadcast(c1), "w1").selectExpr(
+        "w1", "w2", "CAST(length(bin(c1 div c2)) - 1 AS BIGINT) AS bits"
+    )
+    return (
+        bg.join(bits, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("bits").alias("surprisal_bits"),
+        )
+        .selectExpr(
+            "doc_id", "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+            "CAST(surprisal_bits AS BIGINT) AS surprisal_bits",
+            "CAST(surprisal_bits * 1000 div n_bigrams AS BIGINT) AS mean_bits_milli",
+        )
+    )
+
+
+def _sql_q56() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH tt AS (SELECT doc_id, {t} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(t[1:len(t) - 1]) AS w1,
+         unnest(t[2:len(t)]) AS w2
+  FROM tt WHERE len(t) >= 2),
+c1 AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(t) AS w1 FROM tt) GROUP BY w1),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+bits AS (
+  SELECT w1, w2,
+         CAST(length(printf('%b', CAST(c1 // c2 AS BIGINT))) - 1 AS BIGINT) AS bits
+  FROM c2 JOIN c1 USING (w1))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
+       CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS mean_bits_milli
+FROM bg JOIN bits USING (w1, w2) GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5417,6 +5493,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mm04_patch_grid": (mm04_patch_grid, _sql_mm04()),
     "q54_host_quality_cap": (q54_host_quality_cap, SQL_Q54),
     "q55_unigram_surprisal": (q55_unigram_surprisal, _sql_q55()),
+    "q56_bigram_surprisal": (q56_bigram_surprisal, _sql_q56()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -5456,6 +5533,7 @@ _FRONT = [
     "st09_stream_topk",
     "q54_host_quality_cap",
     "q55_unigram_surprisal",
+    "q56_bigram_surprisal",
     # round-5b additions (never driver-sampled)
     "q39_bottomk_sample",
     "q40_sentence_stats",

@@ -315,6 +315,41 @@ def test_q55_plan_broadcasts_vocab(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q56_matches_python_reference(spark):
+    from rsmetacheck_spark.queries import q56_bigram_surprisal
+
+    c1 = Counter()
+    c2 = Counter()
+    doc_bgs = {}
+    for doc_id, text in _rows("documents", "doc_id, text"):
+        t = _toks(text)
+        c1.update(t)
+        if len(t) >= 2:
+            bgs = list(zip(t, t[1:]))
+            doc_bgs[doc_id] = bgs
+            c2.update(bgs)
+    bits = {bg: (c1[bg[0]] // c) .bit_length() - 1 for bg, c in c2.items()}
+    rows = q56_bigram_surprisal(spark, SF).collect()
+    assert len(rows) == len(doc_bgs)
+    for r in rows:
+        bgs = doc_bgs[r.doc_id]
+        sb = sum(bits[b] for b in bgs)
+        assert (r.n_bigrams, r.surprisal_bits) == (len(bgs), sb)
+        assert r.mean_bits_milli == sb * 1000 // len(bgs)
+
+
+def test_q56_bigram_bits_bounded_by_unigram(spark):
+    # conditioning can only sharpen the model: for every doc the bigram
+    # mean must not be wildly above the unigram mean (sanity of the
+    # c2 <= c1 ratio direction; exact inequality doesn't hold per-doc,
+    # but the ratio >= 1 guarantees nonnegative bits)
+    from rsmetacheck_spark.queries import q56_bigram_surprisal
+
+    rows = q56_bigram_surprisal(spark, SF).collect()
+    assert all(r.surprisal_bits >= 0 for r in rows)
+    assert any(r.surprisal_bits > 0 for r in rows)
+
+
 # ---------------------------------------------------------------------------
 # st09: streaming top-k
 # ---------------------------------------------------------------------------
