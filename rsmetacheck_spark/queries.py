@@ -5398,6 +5398,68 @@ FROM bg JOIN bits USING (w1, w2) GROUP BY doc_id
 """
 
 
+_LP_SEEDS = 16  # coarse seed-label buckets for the propagation round
+
+
+def g03_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """One synchronous LABEL-PROPAGATION round over the mutual-kNN graph
+    (community detection, completing the g01/g02 family): nodes start
+    from coarse seed labels (vec_id % _LP_SEEDS — the stand-in for LSH
+    bucket ids), and each node adopts the MODE of its neighbors' labels,
+    tie-broken by smallest label (the deterministic LPA convention).
+    Isolated nodes keep their seed. A full LPA is this plan in a driver
+    loop over a checkpointed label table, exactly the km01/g02 framing.
+
+    Spark shape: symmetrized edges (unioned projections), one groupBy
+    for per-(node, label) vote counts, then ARGMAX VIA STRUCT MIN on
+    (-votes, label) — the q52 idiom: partial-aggregable, no rank window
+    over the vote table. Every shuffle keys on node id."""
+    e = _sim08_edges(spark, sf)
+    sym = e.selectExpr("id_a AS dst", "id_b AS src").union(
+        e.selectExpr("id_b AS dst", "id_a AS src")
+    )
+    votes = (
+        sym.selectExpr("dst", f"src % {_LP_SEEDS} AS lbl")
+        .groupBy("dst", "lbl")
+        .agg(F.count("*").alias("nv"))
+    )
+    best = votes.groupBy("dst").agg(
+        F.min(F.struct((-F.col("nv")).alias("neg"), F.col("lbl"))).alias("m")
+    )
+    nodes = _t(spark, sf, "embeddings").select("vec_id")
+    return (
+        nodes.join(best.selectExpr("dst AS vec_id", "m"), "vec_id", "left")
+        .selectExpr(
+            "vec_id",
+            f"CAST(vec_id % {_LP_SEEDS} AS BIGINT) AS seed_lbl",
+            f"CAST(coalesce(m.lbl, vec_id % {_LP_SEEDS}) AS BIGINT) AS new_lbl",
+            "CAST(coalesce(-m.neg, 0) AS BIGINT) AS n_votes",
+        )
+    )
+
+
+def _sql_g03() -> str:
+    return f"""
+WITH {_sql_sim08_ctes()},
+sym AS (SELECT id_a AS dst, id_b AS src FROM mknn
+        UNION ALL SELECT id_b AS dst, id_a AS src FROM mknn),
+votes AS (
+  SELECT dst, src % {_LP_SEEDS} AS lbl, COUNT(*) AS nv
+  FROM sym GROUP BY dst, src % {_LP_SEEDS}),
+best AS (
+  SELECT dst, lbl, nv FROM (
+    SELECT dst, lbl, nv,
+           ROW_NUMBER() OVER (PARTITION BY dst
+                              ORDER BY nv DESC, lbl ASC) AS rk
+    FROM votes) WHERE rk = 1)
+SELECT e.vec_id,
+       CAST(e.vec_id % {_LP_SEEDS} AS BIGINT) AS seed_lbl,
+       CAST(COALESCE(b.lbl, e.vec_id % {_LP_SEEDS}) AS BIGINT) AS new_lbl,
+       CAST(COALESCE(b.nv, 0) AS BIGINT) AS n_votes
+FROM embeddings e LEFT JOIN best b ON b.dst = e.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5494,6 +5556,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q54_host_quality_cap": (q54_host_quality_cap, SQL_Q54),
     "q55_unigram_surprisal": (q55_unigram_surprisal, _sql_q55()),
     "q56_bigram_surprisal": (q56_bigram_surprisal, _sql_q56()),
+    "g03_label_propagation": (g03_label_propagation, _sql_g03()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -5534,6 +5597,7 @@ _FRONT = [
     "q54_host_quality_cap",
     "q55_unigram_surprisal",
     "q56_bigram_surprisal",
+    "g03_label_propagation",
     # round-5b additions (never driver-sampled)
     "q39_bottomk_sample",
     "q40_sentence_stats",

@@ -351,6 +351,39 @@ def test_q56_bigram_bits_bounded_by_unigram(spark):
 
 
 # ---------------------------------------------------------------------------
+# g03: label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_g03_matches_python_lpa_over_edges(spark):
+    # The edge stage is sim08's (separately oracle-checked); this
+    # recomputes the LP round itself in Python from those edges.
+    from rsmetacheck_spark.queries import (
+        _LP_SEEDS, _sim08_edges, g03_label_propagation,
+    )
+
+    edges = [(r.id_a, r.id_b) for r in _sim08_edges(spark, SF).collect()]
+    nbrs = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    node_ids = [v for (v,) in _rows("embeddings", "vec_id")]
+    expect = {}
+    for v in node_ids:
+        seed = v % _LP_SEEDS
+        if not nbrs[v]:
+            expect[v] = (seed, seed, 0)
+        else:
+            votes = Counter(u % _LP_SEEDS for u in nbrs[v])
+            lbl, nv = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+            expect[v] = (seed, lbl, nv)
+    rows = g03_label_propagation(spark, SF).collect()
+    got = {r.vec_id: (r.seed_lbl, r.new_lbl, r.n_votes) for r in rows}
+    assert got == expect
+    assert any(v[2] > 0 for v in got.values())
+
+
+# ---------------------------------------------------------------------------
 # st09: streaming top-k
 # ---------------------------------------------------------------------------
 
