@@ -5460,6 +5460,64 @@ FROM embeddings e LEFT JOIN best b ON b.dst = e.vec_id
 """
 
 
+def q57_source_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-distribution DRIFT — the corpus-monitoring op a
+    production pipeline runs per ingest batch to catch a crawl source
+    going off-distribution (spam flood, template change, language
+    shift). For each source, the L1 distance between its observed token
+    counts and the counts expected if it sampled the corpus
+    distribution: expected(s,t) = c(t)·n(s) div N, drift_micro =
+    1e6·Σ|obs − exp| div n(s), summed over the tokens the source
+    actually contains. ALL INTEGER — no float ratios, so the statistic
+    is partition-invariant and cross-engine exact (at 10^13-token scale
+    the c·n products need DECIMAL(38) widening, the q23 convention).
+
+    Scale shape: one (source, tok) groupBy over the exploded corpus;
+    the vocab table and the per-source totals both BROADCAST into it
+    (vocab is millions of rows, sources are thousands — both dim-sized
+    vs the pair table); the only wide shuffle is keyed on the compound
+    (source, tok). The final reduce is per-source, map-side combined."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    tk = d.selectExpr("source", f"explode({toks}) AS tok")
+    cs = tk.groupBy("source", "tok").agg(F.count("*").alias("cs"))
+    c = tk.groupBy("tok").agg(F.count("*").alias("c"))
+    ns = cs.groupBy("source").agg(F.sum("cs").alias("ns"))
+    n = c.agg(F.sum("c").alias("n"))
+    return (
+        cs.join(F.broadcast(c), "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .selectExpr("source", "ns", "abs(cs - (c * ns) div n) AS d")
+        .groupBy("source")
+        .agg(F.first("ns").alias("ns"), F.sum("d").alias("l1"))
+        .selectExpr(
+            "source", "CAST(ns AS BIGINT) AS n_toks",
+            "CAST(l1 AS BIGINT) AS l1_abs",
+            "CAST(l1 * 1000000 div ns AS BIGINT) AS drift_micro",
+        )
+    )
+
+
+def _sql_q57() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH tk AS (SELECT source, unnest({t}) AS tok FROM documents),
+cs AS (SELECT source, tok, COUNT(*) AS cs FROM tk GROUP BY source, tok),
+c AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+ns AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM cs GROUP BY source),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+d AS (
+  SELECT cs.source, ns.ns,
+         abs(cs.cs - (c.c * ns.ns) // n.n) AS d
+  FROM cs JOIN c USING (tok) JOIN ns ON ns.source = cs.source CROSS JOIN n)
+SELECT source, CAST(MIN(ns) AS BIGINT) AS n_toks,
+       CAST(SUM(d) AS BIGINT) AS l1_abs,
+       CAST(SUM(d) * 1000000 // MIN(ns) AS BIGINT) AS drift_micro
+FROM d GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5557,6 +5615,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q55_unigram_surprisal": (q55_unigram_surprisal, _sql_q55()),
     "q56_bigram_surprisal": (q56_bigram_surprisal, _sql_q56()),
     "g03_label_propagation": (g03_label_propagation, _sql_g03()),
+    "q57_source_drift": (q57_source_drift, _sql_q57()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -5598,6 +5657,7 @@ _FRONT = [
     "q55_unigram_surprisal",
     "q56_bigram_surprisal",
     "g03_label_propagation",
+    "q57_source_drift",
     # round-5b additions (never driver-sampled)
     "q39_bottomk_sample",
     "q40_sentence_stats",

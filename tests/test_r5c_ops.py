@@ -350,6 +350,29 @@ def test_q56_bigram_bits_bounded_by_unigram(spark):
     assert any(r.surprisal_bits > 0 for r in rows)
 
 
+def test_q57_matches_python_reference(spark):
+    from rsmetacheck_spark.queries import q57_source_drift
+
+    cs = Counter()
+    c = Counter()
+    for source, text in _rows("documents", "source, text"):
+        for tok in _toks(text):
+            cs[(source, tok)] += 1
+            c[tok] += 1
+    ns = Counter()
+    for (source, _tok), k in cs.items():
+        ns[source] += k
+    n = sum(c.values())
+    l1 = Counter()
+    for (source, tok), k in cs.items():
+        l1[source] += abs(k - (c[tok] * ns[source]) // n)
+    rows = q57_source_drift(spark, SF).collect()
+    assert len(rows) == len(ns)
+    for r in rows:
+        assert (r.n_toks, r.l1_abs) == (ns[r.source], l1[r.source])
+        assert r.drift_micro == l1[r.source] * 1000000 // ns[r.source]
+
+
 # ---------------------------------------------------------------------------
 # g03: label propagation
 # ---------------------------------------------------------------------------
