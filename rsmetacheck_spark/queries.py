@@ -5647,6 +5647,12 @@ REGISTRY.update(_st_registry())
 # whose code is unchanged, so skipping them loses nothing (78 entries
 # total; the gate samples the first 50).
 _FRONT = [
+    # the two entries VERDICT r4 explicitly wants driver rows for: q32
+    # (the one red r4 row — its oracle's BIGINT casts landed this round)
+    # and ev07 (P013 anchor fix postdates its last driver sample). They
+    # lead the window so no amount of new-entry growth can push them out.
+    "q32_pack_assignments",
+    "ev07_license_rules",
     # round-5c additions (never driver-sampled; newest first)
     "q51_bpe_apply_merge",
     "q52_mincost_supplier",
@@ -5701,8 +5707,6 @@ _FRONT = [
     "dc01_distinct_sketch",
     "q37_bigram_coverage",
     "sim07_pq_adc_topk",
-    "ev07_license_rules",
-    "q32_pack_assignments",
     # shingle-builder rewrite (round-5 zip_with perf fix) recompiles
     # these three plans — same outputs, but they need fresh driver rows;
     # ranked ABOVE the never-changed r4-unsampled block: with 94 entries
