@@ -5518,6 +5518,465 @@ FROM d GROUP BY source
 """
 
 
+def q58_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 analog (customer distribution): histogram of per-customer
+    order counts INCLUDING zero-order customers, with a category
+    exclusion (priority '5-LOW' stands in for Q13's comment filter).
+
+    Spark-first shape: instead of the textbook LEFT JOIN then
+    double-GROUP BY (which shuffles the full customer×order pair stream),
+    orders partial-aggregate to one row per custkey FIRST (map-side
+    combine shrinks the shuffle to customer-sized), the LEFT join keys
+    both sides on custkey, and the final histogram groupBy collapses to
+    the handful of distinct counts — a reduce small enough for a single
+    stage. The DuckDB oracle keeps the textbook LEFT JOIN form, so this
+    is a two-formulation equivalence proof (the q35/q42 pattern).
+    Zero-order customers flow through the join as NULL→0 — the part a
+    naive inner-join formulation silently drops."""
+    counts = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    c = _t(spark, sf, "customer").select("c_custkey")
+    return (
+        c.join(counts, c.c_custkey == counts.o_custkey, "left")
+        .selectExpr("CAST(coalesce(cnt, 0) AS BIGINT) AS c_count")
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .selectExpr("c_count", "CAST(custdist AS BIGINT) AS custdist")
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_Q58 = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+_Q59_LATE_DAYS = 60  # ship-lag beyond which a lineitem counts as late
+
+
+def q59_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 analog (suppliers who kept orders waiting): for finished
+    ('F') orders with MORE THAN ONE supplier where EXACTLY ONE supplier
+    shipped late (shipdate > orderdate + 60 days — the analog of Q21's
+    receipt-past-commit predicate, which this schema lacks), count each
+    late line against that lone late supplier.
+
+    Q21's textbook form is a double correlated EXISTS / NOT EXISTS
+    self-join over lineitem — three scans and two semi-join shuffles of
+    the fact table. The Spark-first rewrite aggregates each order ONCE:
+    one groupBy(orderkey) computes n_suppliers and n_late_suppliers
+    (two distinct-counts, partial-aggregable), and a single equi-join of
+    the late lines against the qualifying orders (ns > 1 AND nl = 1)
+    replaces both EXISTS probes. The fact table is scanned once and
+    shuffled on orderkey twice total; the supplier dim broadcasts for
+    names. The DuckDB oracle keeps the naive EXISTS/NOT-EXISTS form —
+    a two-formulation equivalence proof of the rewrite."""
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).selectExpr(
+        "l_orderkey", "l_suppkey",
+        f"l_shipdate > o_orderdate + INTERVAL {_Q59_LATE_DAYS} DAY AS late",
+    )
+    oa = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nl"),
+    )
+    waiting = (
+        j.filter("late")
+        .join(oa.filter("ns > 1 AND nl = 1"), "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    s = _t(spark, sf, "supplier").selectExpr("s_suppkey AS l_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(s), "l_suppkey")
+        .selectExpr("s_name", "CAST(numwait AS BIGINT) AS numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+SQL_Q59 = f"""
+WITH j AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL {_Q59_LATE_DAYS} DAY AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F')
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM j l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM j l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM j l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC LIMIT 100
+"""
+
+_Q60_CUTOFF = "2000-01-01 00:00:00"  # idle = no order on/after this date
+
+
+def q60_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 analog (global-sales-opportunity): per nation, the count
+    and total balance of customers whose balance exceeds the average
+    positive balance AND who placed no order since the cutoff (this
+    schema's stand-in for Q22's no-orders-at-all, which is empty here —
+    every synthetic customer orders).
+
+    Spark-first shapes, all three Q22 pain points addressed: (1) the
+    scalar AVG subquery becomes a 1-row broadcast crossJoin — never a
+    driver collect; (2) the above-average test is an INTEGER
+    cross-multiply (cents·n > sum_cents — the q53 idiom), so no float
+    average whose partial-sum order could flip a boundary row between
+    engines; (3) the no-recent-orders probe is a LEFT ANTI join keyed on
+    custkey (Spark's anti-join needs no pre-distinct on the build side).
+    Balances route through DECIMAL(18,4)·100 per the cross-engine
+    truncate-vs-round rule."""
+    cents = "CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT)"
+    c = _t(spark, sf, "customer").selectExpr(
+        "c_custkey", "c_nationkey", f"{cents} AS cents"
+    )
+    pos = c.filter("cents > 0").agg(
+        F.sum("cents").alias("s"), F.count("*").alias("n")
+    )
+    recent = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_Q60_CUTOFF).cast("timestamp"))
+        .selectExpr("o_custkey AS c_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("cents") * F.col("n") > F.col("s"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), F.sum("cents").alias("tot_cents"))
+        .selectExpr(
+            "CAST(c_nationkey AS BIGINT) AS c_nationkey",
+            "CAST(numcust AS BIGINT) AS numcust",
+            "CAST(tot_cents AS BIGINT) AS tot_cents",
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_Q60 = f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+  FROM customer),
+pos AS (SELECT SUM(cents) AS s, COUNT(*) AS n FROM c WHERE cents > 0)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(cents) AS BIGINT) AS tot_cents
+FROM c CROSS JOIN pos
+WHERE cents * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{_Q60_CUTOFF}')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def q61_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style REPETITION signals (Rae et al. 2021 §A1.1), the two
+    n-gram repetition rules a web-text quality filter runs per document:
+    top2_milli = fraction of characters covered by occurrences of the
+    single most frequent word BIGRAM, and dup5_milli = character mass of
+    duplicated word 5-GRAMS (those occurring >= 2 times, all occurrences
+    counted — overlaps inflate it past 1000 by design, it is a mass not
+    a coverage). Both are INTEGER per-mille over the space-joined token
+    length, so the statistic is partition-invariant and cross-engine
+    exact. Docs need >= 5 tokens to have a 5-gram.
+
+    Scale shape: n-grams are formed MAP-SIDE from each doc's token array
+    (no self-join), both count tables key their one shuffle on
+    (doc_id, gram), the per-doc argmax is STRUCT MIN on (-count, gram)
+    (the q52 idiom — no rank window), and the final assembly is two
+    doc-keyed joins (dup5 LEFT — most docs have no duplicated 5-gram).
+    Reference analog: the reference has no corpus-quality stage; this is
+    the Gopher rule the north-star pipeline needs."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    base = (
+        d.selectExpr("doc_id", f"{toks} AS t")
+        .filter("size(t) >= 5")
+        .selectExpr(
+            "doc_id", "t",
+            "length(array_join(t, ' ')) AS nc", "size(t) AS n_toks",
+        )
+    )
+    g2 = base.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, size(t) - 1),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) AS g",
+    )
+    top2 = (
+        g2.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.min(F.struct((-F.col("c")).alias("neg"), F.col("g"))).alias("m"))
+        .selectExpr("doc_id", "(-m.neg) * length(m.g) AS top2_chars")
+    )
+    g5 = base.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, size(t) - 4),"
+        " i -> array_join(slice(t, i, 5), ' '))) AS g",
+    )
+    dup5 = (
+        g5.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .filter("c >= 2")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.length("g")).alias("mass"))
+    )
+    return (
+        base.select("doc_id", "nc", "n_toks")
+        .join(top2, "doc_id")
+        .join(dup5, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(n_toks AS BIGINT) AS n_toks",
+            "CAST(top2_chars * 1000 div nc AS BIGINT) AS top2_milli",
+            "CAST(coalesce(mass, 0) * 1000 div nc AS BIGINT) AS dup5_milli",
+        )
+    )
+
+
+def _sql_q61() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH tt AS (SELECT doc_id, {t} AS t FROM documents),
+base AS (
+  SELECT doc_id, t, length(array_to_string(t, ' ')) AS nc, len(t) AS n_toks
+  FROM tt WHERE len(t) >= 5),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM base),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+top2 AS (
+  SELECT doc_id, c * length(g) AS top2_chars FROM (
+    SELECT doc_id, g, c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, g ASC) AS rk
+    FROM c2) WHERE rk = 1),
+g5 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 4),
+           i -> array_to_string(t[i:i + 4], ' '))) AS g
+  FROM base),
+c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g),
+dup5 AS (
+  SELECT doc_id, SUM(c * length(g)) AS mass
+  FROM c5 WHERE c >= 2 GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_toks AS BIGINT) AS n_toks,
+       CAST(t2.top2_chars * 1000 // b.nc AS BIGINT) AS top2_milli,
+       CAST(COALESCE(d5.mass, 0) * 1000 // b.nc AS BIGINT) AS dup5_milli
+FROM base b JOIN top2 t2 USING (doc_id) LEFT JOIN dup5 d5 USING (doc_id)
+"""
+
+
+def q62_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order MARKOV TRANSITION MATRIX over per-user event streams:
+    for each (previous event_type, event_type) pair, the transition
+    count and its per-mille share of all transitions. The behavioral
+    sibling of q05/q49 — sessionize and funnel read the stream forward,
+    this one conditions each event on its predecessor (LAG window).
+
+    Scale shape: ONE shuffle keyed on user_id, the lag is a linear
+    per-partition scan (ordered by ts with event_id as the unique
+    tie-break, so concurrent-timestamp users are deterministic), the
+    transition matrix is |types|^2 rows — driver-trivial — and the
+    grand total joins back as a 1-row broadcast crossJoin, never a
+    collect. Integer per-mille keeps the hash cross-engine exact."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = tr.agg(F.sum("n").alias("tot"))
+    return (
+        tr.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "prev_type", "event_type", "CAST(n AS BIGINT) AS n",
+            "CAST(n * 1000 div tot AS BIGINT) AS share_milli",
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+SQL_Q62 = """
+WITH tr AS (
+  SELECT prev_type, event_type, COUNT(*) AS n FROM (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type,
+           event_type
+    FROM events)
+  WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type),
+tot AS (SELECT SUM(n) AS tot FROM tr)
+SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000 // tot AS BIGINT) AS share_milli
+FROM tr CROSS JOIN tot
+ORDER BY prev_type, event_type
+"""
+
+
+_BPE_TRAIN_STEPS = 3  # learned-merge iterations in the q63 trainer
+
+
+def _bpe_pairs_expr(s: str) -> str:
+    """Spark SQL: adjacent symbol pairs of a space-joined symbol string."""
+    return (
+        f"explode(transform(sequence(1, size(split({s}, ' ')) - 1),"
+        f" i -> concat(element_at(split({s}, ' '), i), ' ',"
+        f"             element_at(split({s}, ' '), i + 1))))"
+    )
+
+
+def q63_bpe_train3(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE TRAINER, three full merge iterations — the loop q41 (pair
+    counting) and q51 (one merge application) are single steps of. Each
+    iteration: count adjacent symbol pairs over the (word, freq) vocab,
+    pick the argmax pair (count DESC, pair ASC — the standard
+    deterministic tie-break), and apply it as BPE's greedy leftmost
+    non-overlapping single-pass merge. Output: the learned merge table,
+    one row per step.
+
+    The merge pass is pure string algebra, no per-row Python: pad the
+    symbol string to DOUBLE-space gaps, then a single `replace` of
+    ' a  b ' with ' ab ' IS the greedy pass — each match consumes one
+    space from each neighboring double gap, so back-to-back pairs
+    ('a b a b') still match, while the shared-symbol chain ('a a a')
+    merges only leftmost — exactly BPE semantics, identical in Spark and
+    DuckDB (both scan leftmost non-overlapping without rescanning
+    replaced text). A third-way Python reference BPE verifies this in
+    tests/test_r5d_ops.py.
+
+    Scale shape: the corpus collapses to the vocab ONCE (one groupBy);
+    each iteration is then one vocab-sized groupBy for pair counts, a
+    1-row broadcast crossJoin for the argmax (never a collect), and a
+    map-only rewrite — K merges cost K small shuffles with no growth.
+    Reference analog: none (the reference tokenizes per-doc in Python);
+    this is the trainer-side primitive of the north-star pipeline."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    cur = (
+        d.selectExpr(f"explode({toks}) AS w")
+        .groupBy("w").agg(F.count("*").alias("freq"))
+        .filter("length(w) >= 2")
+        .selectExpr(
+            "array_join(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), ' ') AS s",
+            "freq",
+        )
+    )
+    steps = []
+    for step in range(1, _BPE_TRAIN_STEPS + 1):
+        pairs = (
+            cur.filter("size(split(s, ' ')) >= 2")
+            .selectExpr(f"{_bpe_pairs_expr('s')} AS pair", "freq")
+        )
+        top1 = (
+            pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair")).limit(1)
+            .selectExpr(
+                f"CAST({step} AS BIGINT) AS step", "pair",
+                "replace(pair, ' ', '') AS merged", "CAST(n AS BIGINT) AS n",
+            )
+        )
+        steps.append(top1)
+        # double-space padding makes one non-overlapping replace pass
+        # exactly BPE's greedy leftmost merge (see docstring)
+        cur = (
+            cur.crossJoin(F.broadcast(top1.select("pair", "merged")))
+            .selectExpr(
+                "array_join(filter(split("
+                " replace(concat('  ', replace(s, ' ', '  '), '  '),"
+                "         concat(' ', replace(pair, ' ', '  '), ' '),"
+                "         concat(' ', merged, ' ')),"
+                " ' '), x -> x != ''), ' ') AS s",
+                "freq",
+            )
+        )
+    out = steps[0]
+    for s_df in steps[1:]:
+        out = out.union(s_df)
+    return out.orderBy("step")
+
+
+def _sql_q63() -> str:
+    t = _TOKS_DUCK.format(c="text")
+
+    def pairs(src: str) -> str:
+        return f"""
+  SELECT unnest(list_transform(generate_series(1, len(y) - 1),
+           i -> y[i] || ' ' || y[i + 1])) AS pair, freq
+  FROM (SELECT string_split(s, ' ') AS y, freq FROM {src})
+  WHERE len(y) >= 2"""
+
+    def top(p: str, step: int) -> str:
+        return f"""
+  SELECT CAST({step} AS BIGINT) AS step, pair,
+         replace(pair, ' ', '') AS merged, CAST(n AS BIGINT) AS n
+  FROM (SELECT pair, SUM(freq) AS n FROM {p} GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 1)"""
+
+    def apply(src: str, tp: str) -> str:
+        return f"""
+  SELECT array_to_string(list_filter(string_split(
+           replace('  ' || replace(s, ' ', '  ') || '  ',
+                   ' ' || replace(pair, ' ', '  ') || ' ',
+                   ' ' || merged || ' '),
+           ' '), x -> x <> ''), ' ') AS s, freq
+  FROM {src} CROSS JOIN {tp}"""
+
+    return f"""
+WITH wf AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest({t}) AS w FROM documents) GROUP BY w
+  HAVING length(w) >= 2),
+s0 AS (
+  SELECT array_to_string(list_transform(generate_series(1, length(w)),
+           i -> substring(w, CAST(i AS INTEGER), 1)), ' ') AS s, freq
+  FROM wf),
+p1 AS ({pairs('s0')}),
+t1 AS ({top('p1', 1)}),
+s1 AS ({apply('s0', 't1')}),
+p2 AS ({pairs('s1')}),
+t2 AS ({top('p2', 2)}),
+s2 AS ({apply('s1', 't2')}),
+p3 AS ({pairs('s2')}),
+t3 AS ({top('p3', 3)})
+SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+ORDER BY step
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5616,6 +6075,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q56_bigram_surprisal": (q56_bigram_surprisal, _sql_q56()),
     "g03_label_propagation": (g03_label_propagation, _sql_g03()),
     "q57_source_drift": (q57_source_drift, _sql_q57()),
+    "q58_order_count_distribution": (q58_order_count_distribution, SQL_Q58),
+    "q59_waiting_suppliers": (q59_waiting_suppliers, SQL_Q59),
+    "q60_idle_rich_customers": (q60_idle_rich_customers, SQL_Q60),
+    "q61_gopher_repetition": (q61_gopher_repetition, _sql_q61()),
+    "q62_event_transitions": (q62_event_transitions, SQL_Q62),
+    "q63_bpe_train3": (q63_bpe_train3, _sql_q63()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -5653,6 +6118,13 @@ _FRONT = [
     # lead the window so no amount of new-entry growth can push them out.
     "q32_pack_assignments",
     "ev07_license_rules",
+    # round-5d additions (never driver-sampled; newest first)
+    "q58_order_count_distribution",
+    "q59_waiting_suppliers",
+    "q60_idle_rich_customers",
+    "q61_gopher_repetition",
+    "q62_event_transitions",
+    "q63_bpe_train3",
     # round-5c additions (never driver-sampled; newest first)
     "q51_bpe_apply_merge",
     "q52_mincost_supplier",

@@ -40,6 +40,7 @@ DOC_QUERIES = (
     "q23_tfidf_terms", "q24_bigram_pmi", "q25_vocab_coverage",
     "q26_repeat_collapse", "q27_contamination", "q28_mixing_weights",
     "q29_packing_histogram", "q30_weighted_sample", "q31_chunk_windows",
+    "q61_gopher_repetition", "q63_bpe_train3",
 )
 
 
