@@ -5977,6 +5977,287 @@ ORDER BY step
 """
 
 
+_REV_DMIL = (
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))"
+    " * 10000 AS BIGINT)"
+)  # discounted revenue in 1e-4 currency units — integral, so exact cross-engine
+
+
+def q64_top_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 analog (top supplier): the supplier(s) whose Q1-1996
+    discounted revenue equals the GLOBAL maximum — ties kept, per Q15's
+    view-with-scalar-subquery semantics.
+
+    Spark-first shape for a global argmax WITH ties (distinct from q52's
+    per-group struct-MIN, which keeps exactly one row): the per-supplier
+    aggregate computes once, its 1-row MAX re-aggregates and re-enters as
+    a broadcast crossJoin filter — never a rank window over the full
+    aggregate (a single-partition sort at scale) and never a driver
+    collect. Revenue is summed as DECIMAL(18,4) (exact partials) and
+    reported in integral 1e-4 units so the driver's typed hash can't see
+    float partial-sum order. The DuckDB oracle keeps Q15's textbook
+    scalar-subquery form — a two-formulation equivalence proof."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.expr(_REV_DMIL).alias("rev_dmil"))
+    mx = rev.agg(F.max("rev_dmil").alias("mx"))
+    s = _t(spark, sf, "supplier").selectExpr("s_suppkey AS l_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter("rev_dmil = mx")
+        .join(F.broadcast(s), "l_suppkey")
+        .selectExpr("l_suppkey AS s_suppkey", "s_name", "rev_dmil")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_Q64 = f"""
+WITH rev AS (
+  SELECT l_suppkey, {_REV_DMIL} AS rev_dmil
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, rev_dmil
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev_dmil = (SELECT MAX(rev_dmil) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q65_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 analog (volume shipping): cross-border revenue by
+    (supplier nation, customer nation, ship year) for 1996-1997, i.e.
+    the nation dim plays TWO ROLES in one query — once through
+    lineitem⋈supplier, once through orders⋈customer.
+
+    Scale shape: nation and supplier broadcast (genuine dims); customer
+    does NOT — at web scale customers are fact-sized, so customer⋈orders
+    is a shuffled equi-join on custkey, and the one other big shuffle
+    keys lineitem⋈orders on orderkey. The year filter applies before the
+    fact-fact join. Output is |nations|²·2 rows — reduce-side trivial.
+    Revenue in integral 1e-4 units (exact DECIMAL partials)."""
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    s = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .selectExpr("s_suppkey AS l_suppkey", "n_name AS supp_nation")
+    )
+    c = (
+        _t(spark, sf, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .selectExpr("c_custkey AS o_custkey", "n_name AS cust_nation")
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey").join(
+        c, "o_custkey"
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.year("l_shipdate").isin(1996, 1997)
+    ).selectExpr(
+        "l_orderkey", "l_suppkey",
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year",
+        "l_extendedprice", "l_discount",
+    )
+    return (
+        li.join(F.broadcast(s), "l_suppkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .filter("supp_nation != cust_nation")
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.expr(_REV_DMIL).alias("volume_dmil"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_Q65 = f"""
+SELECT supp_nation, cust_nation, l_year, {_REV_DMIL} AS volume_dmil
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE year(l_shipdate) IN (1996, 1997)
+    AND n1.n_name <> n2.n_name)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+_Q66_SIZES = (1, 4, 9, 16, 25, 36, 49)
+
+
+def q66_part_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 analog (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) over qualifying parts, EXCLUDING a
+    supplier blocklist (names containing '7' — the analog of Q16's
+    comment-pattern complaint filter; this schema has no s_comment).
+
+    Scale shape: the part-supplier relation (this schema's partsupp) is
+    recovered as DISTINCT (l_partkey, l_suppkey) from the fact table —
+    one map-side-combining shuffle; Q16's NOT IN subquery becomes a
+    broadcast LEFT ANTI join (the blocklist is dim-sized); part
+    broadcasts with its three filters applied BEFORE the join; the final
+    COUNT(DISTINCT) rides the already-distinct pair stream. The DuckDB
+    oracle keeps the textbook NOT-IN form."""
+    ps = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = (
+        _t(spark, sf, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "STANDARD")
+            & F.col("p_size").isin(*_Q66_SIZES)
+        )
+        .selectExpr("p_partkey AS l_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_name").like("%7%"))
+        .selectExpr("s_suppkey AS l_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), "l_partkey")
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .selectExpr(
+            "p_brand", "p_type", "CAST(p_size AS BIGINT) AS p_size",
+            "CAST(supplier_cnt AS BIGINT) AS supplier_cnt",
+        )
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+SQL_Q66 = f"""
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'STANDARD'
+  AND p_size IN {_Q66_SIZES}
+  AND l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def dd16_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-level overlap matrix: for every source pair sharing at
+    least one 3-shingle, the EXACT shingle-set Jaccard (per-mille) next
+    to its MinHash ESTIMATE (matching signature components per-mille,
+    dd02's 128 md5+affine permutations aggregated per SOURCE instead of
+    per doc). The dataset-curation question dd02 answers per document —
+    "how much does crawl A duplicate crawl B?" — answered per corpus,
+    with the estimate's error auditable against the exact column.
+
+    Scale shape: exact intersections use the inverted index (self-join
+    keyed on shingle; a shingle in S sources yields ≤ S²/2 pair rows, so
+    hot template shingles are bounded by the SOURCE count, not the doc
+    count — no doc×doc blowup); per-source set sizes and signatures are
+    each one groupBy(source) with map-side combine (the 128 MINs follow
+    dd02's codegen'd-aggregate form); signatures re-enter as two
+    broadcast equi-joins onto the pair rows (the non-equi pairing is
+    inherited from the inverted index — never a BNLJ). Only the
+    |sources|-sized tables ever sit on the reduce side."""
+    from .functions.hashing import NUM_HASHES
+
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    ss = (
+        d.selectExpr("source", f"{toks} AS t")
+        .selectExpr("source", f"explode({_SHINGLES_SPARK.format(t='t')}) AS sh")
+        .distinct()
+    )
+    ss = _checkpoint(ss, "dd16_ss", key=f"dd16_ss:{_sfkey(sf)}")  # 3 consumers
+    sizes = ss.groupBy("source").agg(F.count("*").alias("n_sh"))
+    inter = (
+        ss.selectExpr("source AS src_a", "sh")
+        .join(ss.selectExpr("source AS src_b", "sh"), "sh")
+        .filter("src_a < src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    hv = ss.selectExpr(
+        "source",
+        "CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS bigint) % 2147483647 AS h",
+    )
+    mins = [
+        F.min(
+            ((2 * i + 1) * F.col("h") + (1000003 * i + 12345)) % 2147483647
+        ).alias(f"m{i}")
+        for i in range(NUM_HASHES)
+    ]
+    sig = hv.groupBy("source").agg(*mins).select(
+        "source", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
+    )
+    return (
+        inter
+        .join(F.broadcast(sizes.selectExpr("source AS src_a", "n_sh AS na")), "src_a")
+        .join(F.broadcast(sizes.selectExpr("source AS src_b", "n_sh AS nb")), "src_b")
+        .join(F.broadcast(sig.selectExpr("source AS src_a", "sig AS sig_a")), "src_a")
+        .join(F.broadcast(sig.selectExpr("source AS src_b", "sig AS sig_b")), "src_b")
+        .selectExpr(
+            "src_a", "src_b", "CAST(n_inter AS BIGINT) AS n_inter",
+            "CAST(na + nb - n_inter AS BIGINT) AS n_union",
+            "CAST(n_inter * 1000 div (na + nb - n_inter) AS BIGINT)"
+            " AS jacc_milli",
+            "CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),"
+            f" z -> z)) * 1000 div {NUM_HASHES} AS BIGINT) AS est_milli",
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _sql_dd16() -> str:
+    from .functions.hashing import NUM_HASHES
+
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH tt AS (SELECT source, {t} AS t FROM documents),
+ss AS (
+  SELECT DISTINCT source, sh
+  FROM (SELECT source, unnest({_SHINGLES_DUCK.format(t='t')}) AS sh FROM tt)),
+sizes AS (SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2),
+hv AS (
+  SELECT source,
+         CAST(list_sum(list_transform(generate_series(1, 8),
+           j -> CAST(strpos('0123456789abcdef', substring(md5(sh), CAST(j AS INTEGER), 1)) - 1 AS BIGINT)
+                << ((8 - CAST(j AS INTEGER)) * 4))) AS BIGINT) % 2147483647 AS h
+  FROM ss),
+sig AS (
+  SELECT source,
+         list_transform(generate_series(0, {NUM_HASHES - 1}),
+           i -> list_min(list_transform(hs,
+             h -> ((2 * i + 1) * h + (1000003 * i + 12345)) % 2147483647))) AS sig
+  FROM (SELECT source, list(h) AS hs FROM hv GROUP BY source))
+SELECT src_a, src_b, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(za.n_sh + zb.n_sh - n_inter AS BIGINT) AS n_union,
+       CAST(n_inter * 1000 // (za.n_sh + zb.n_sh - n_inter) AS BIGINT) AS jacc_milli,
+       CAST(list_sum(list_transform(generate_series(1, {NUM_HASHES}),
+              i -> CASE WHEN ga.sig[i] = gb.sig[i] THEN 1 ELSE 0 END))
+            * 1000 // {NUM_HASHES} AS BIGINT) AS est_milli
+FROM inter
+JOIN sizes za ON za.source = src_a
+JOIN sizes zb ON zb.source = src_b
+JOIN sig ga ON ga.source = src_a
+JOIN sig gb ON gb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6081,6 +6362,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q61_gopher_repetition": (q61_gopher_repetition, _sql_q61()),
     "q62_event_transitions": (q62_event_transitions, SQL_Q62),
     "q63_bpe_train3": (q63_bpe_train3, _sql_q63()),
+    "q64_top_suppliers": (q64_top_suppliers, SQL_Q64),
+    "q65_nation_volume": (q65_nation_volume, SQL_Q65),
+    "q66_part_supplier_counts": (q66_part_supplier_counts, SQL_Q66),
+    "dd16_source_overlap": (dd16_source_overlap, _sql_dd16()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -6118,6 +6403,11 @@ _FRONT = [
     # lead the window so no amount of new-entry growth can push them out.
     "q32_pack_assignments",
     "ev07_license_rules",
+    # round-5e additions (never driver-sampled; newest first)
+    "q64_top_suppliers",
+    "q65_nation_volume",
+    "q66_part_supplier_counts",
+    "dd16_source_overlap",
     # round-5d additions (never driver-sampled; newest first)
     "q58_order_count_distribution",
     "q59_waiting_suppliers",

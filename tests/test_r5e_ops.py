@@ -1,0 +1,219 @@
+"""Independent Python-reference checks for the round-5e operators
+(q64 top suppliers, q65 nation-pair volume, q66 part-supplier counts,
+dd16 source overlap matrix).
+
+The DuckDB oracle proves Spark and DuckDB AGREE; these recompute the
+semantics a THIRD way (plain Python over the raw parquet) so a
+misunderstanding shared by both SQL formulations can't hide."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+from datetime import datetime
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+
+from rsmetacheck_spark.functions.hashing import NUM_HASHES
+from rsmetacheck_spark.queries import (
+    _Q66_SIZES, dd16_source_overlap, q64_top_suppliers, q65_nation_volume,
+    q66_part_supplier_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(table: str, cols: str):
+    return duckdb.sql(
+        f"SELECT {cols} FROM read_parquet('{SF}/{table}.parquet')"
+    ).fetchall()
+
+
+def _rev_dmil(price: float, disc: float) -> int:
+    """discounted revenue in 1e-4 units: double product, then the
+    HALF_UP round both engines apply casting double -> DECIMAL(18,4)."""
+    d = Decimal(price * (1 - disc)).quantize(
+        Decimal("0.0001"), rounding=ROUND_HALF_UP
+    )
+    return int(d * 10000)
+
+
+# ---------------------------------------------------------------------------
+# q64: top supplier(s) by Q1-1996 revenue (TPC-H Q15 analog)
+# ---------------------------------------------------------------------------
+
+
+def test_q64_matches_python_reference(spark):
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 4, 1)
+    rev = Counter()
+    for sk, sd, pr, dc in _rows(
+        "lineitem", "l_suppkey, l_shipdate, l_extendedprice, l_discount"
+    ):
+        if lo <= sd < hi:
+            rev[sk] += _rev_dmil(pr, dc)
+    mx = max(rev.values())
+    names = {sk: nm for sk, nm in _rows("supplier", "s_suppkey, s_name")}
+    want = sorted((sk, names[sk], r) for sk, r in rev.items() if r == mx)
+    got = [
+        (r.s_suppkey, r.s_name, r.rev_dmil)
+        for r in q64_top_suppliers(spark, SF).collect()
+    ]
+    assert got == want
+    assert len(got) >= 1
+
+
+def test_q64_keeps_ties(spark):
+    """Global argmax must keep EVERY supplier at the max, not pick one
+    (the q52 struct-MIN idiom would drop ties). Planted frame: two
+    suppliers tie at the max revenue."""
+    df = spark.createDataFrame(
+        [(1, 50), (2, 30), (3, 50), (2, 20)], "l_suppkey int, rev_dmil int"
+    )
+    from pyspark.sql import functions as F
+
+    rev = df.groupBy("l_suppkey").agg(F.sum("rev_dmil").alias("rev_dmil"))
+    mx = rev.agg(F.max("rev_dmil").alias("mx"))
+    out = sorted(
+        r.l_suppkey
+        for r in rev.crossJoin(F.broadcast(mx)).filter("rev_dmil = mx").collect()
+    )
+    assert out == [1, 2, 3]  # 50, 50, 50 — all three tie
+
+
+# ---------------------------------------------------------------------------
+# q65: cross-border volume by nation pair and year (TPC-H Q7 analog)
+# ---------------------------------------------------------------------------
+
+
+def test_q65_matches_python_reference(spark):
+    nation = {nk: nm for nk, nm in _rows("nation", "n_nationkey, n_name")}
+    supp_nation = {
+        sk: nation[nk] for sk, nk in _rows("supplier", "s_suppkey, s_nationkey")
+    }
+    cust_nation = {
+        ck: nation[nk] for ck, nk in _rows("customer", "c_custkey, c_nationkey")
+    }
+    order_cust = {ok: ck for ok, ck in _rows("orders", "o_orderkey, o_custkey")}
+    vol = Counter()
+    for ok, sk, sd, pr, dc in _rows(
+        "lineitem",
+        "l_orderkey, l_suppkey, l_shipdate, l_extendedprice, l_discount",
+    ):
+        if sd.year not in (1996, 1997):
+            continue
+        sn, cn = supp_nation[sk], cust_nation[order_cust[ok]]
+        if sn != cn:
+            vol[(sn, cn, sd.year)] += _rev_dmil(pr, dc)
+    want = sorted((sn, cn, y, v) for (sn, cn, y), v in vol.items())
+    got = [
+        (r.supp_nation, r.cust_nation, r.l_year, r.volume_dmil)
+        for r in q65_nation_volume(spark, SF).collect()
+    ]
+    assert got == want
+    # the dim plays two roles: some pair must appear in both directions
+    pairs = {(a, b) for a, b, _, _ in got}
+    assert any((b, a) in pairs for a, b in pairs)
+
+
+# ---------------------------------------------------------------------------
+# q66: distinct supplier count per (brand, type, size) (TPC-H Q16 analog)
+# ---------------------------------------------------------------------------
+
+
+def test_q66_matches_python_reference(spark):
+    bad = {
+        sk for sk, nm in _rows("supplier", "s_suppkey, s_name") if "7" in nm
+    }
+    part = {
+        pk: (b, t, z)
+        for pk, b, t, z in _rows("part", "p_partkey, p_brand, p_type, p_size")
+        if b != "Brand#13" and t != "STANDARD" and z in _Q66_SIZES
+    }
+    per_key: dict[tuple, set] = defaultdict(set)
+    for pk, sk in set(_rows("lineitem", "l_partkey, l_suppkey")):
+        if pk in part and sk not in bad:
+            per_key[part[pk]].add(sk)
+    want = sorted(
+        ((b, t, z, len(s)) for (b, t, z), s in per_key.items()),
+        key=lambda r: (-r[3], r[0], r[1], r[2]),
+    )
+    got = [
+        (r.p_brand, r.p_type, r.p_size, r.supplier_cnt)
+        for r in q66_part_supplier_counts(spark, SF).collect()
+    ]
+    assert got == want
+    assert len(got) > 0
+
+
+def test_q66_plan_broadcasts_dims(spark):
+    plan = (
+        q66_part_supplier_counts(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# dd16: source-pair overlap matrix (exact + MinHash estimate)
+# ---------------------------------------------------------------------------
+
+
+def _toks(text: str) -> list[str]:
+    import re
+
+    return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+
+
+def _shingles(t: list[str]) -> set[str]:
+    return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2147483647
+
+
+def test_dd16_matches_python_reference(spark):
+    per_src: dict[str, set] = defaultdict(set)
+    for src, text in _rows("documents", "source, text"):
+        per_src[src] |= _shingles(_toks(text))
+    sigs = {}
+    for src, sh in per_src.items():
+        hs = [_h32(s) for s in sh]
+        sigs[src] = [
+            min(((2 * i + 1) * h + (1000003 * i + 12345)) % 2147483647 for h in hs)
+            for i in range(NUM_HASHES)
+        ]
+    want = []
+    srcs = sorted(per_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(per_src[a] & per_src[b])
+            if inter == 0:
+                continue
+            union = len(per_src[a] | per_src[b])
+            match = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+            want.append(
+                (a, b, inter, union, inter * 1000 // union,
+                 match * 1000 // NUM_HASHES)
+            )
+    got = [
+        (r.src_a, r.src_b, r.n_inter, r.n_union, r.jacc_milli, r.est_milli)
+        for r in dd16_source_overlap(spark, SF).collect()
+    ]
+    assert got == sorted(want)
+    # the estimate must track the exact value: mean absolute error of a
+    # 128-perm MinHash on per-mille Jaccard stays well under 100
+    errs = [abs(j - e) for _, _, _, _, j, e in got]
+    assert sum(errs) / len(errs) < 100, sum(errs) / len(errs)
+
+
+def test_dd16_plan_has_no_unblocked_join(spark):
+    plan = (
+        dd16_source_overlap(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
