@@ -6258,6 +6258,77 @@ ORDER BY src_a, src_b
 """
 
 
+_Q67_CAPS = (128, 256, 512, 1024)
+
+
+def q67_packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    """SEQUENCE-LENGTH DECISION TABLE: for each candidate context length,
+    the corpus-wide token efficiency of (a) per-document padding (every
+    doc padded up to a cap multiple — the naive trainer default) vs (b)
+    per-source concat-and-chunk packing (q32's scheme — waste only at
+    each source stream's tail). This one table is how a trainer picks
+    its sequence length: padded_eff collapses as the cap outgrows the
+    median doc, packed_eff stays ~1000 per-mille at every cap.
+
+    Scale shape: the cap dimension fans out MAP-SIDE (a 4-element
+    explode — rows ×|caps| before any shuffle, so no re-scan per cap);
+    the first groupBy reduces to (cap, source) with map-side combine;
+    the second to |caps| rows. All arithmetic is integer ceiling-
+    division — partition-invariant and cross-engine exact."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    caps = ", ".join(str(c) for c in _Q67_CAPS)
+    per_src = (
+        d.selectExpr(f"source", f"CAST(size({toks}) AS BIGINT) AS n")
+        .selectExpr("source", f"explode(array({caps})) AS cap", "n")
+        .groupBy("cap", "source")
+        .agg(
+            F.sum("n").alias("tot_s"),
+            F.sum(F.expr("((n + cap - 1) div cap) * cap")).alias("padded_s"),
+        )
+    )
+    return (
+        per_src.groupBy("cap")
+        .agg(
+            F.sum("tot_s").alias("tokens"),
+            F.sum("padded_s").alias("padded_total"),
+            F.sum(F.expr("((tot_s + cap - 1) div cap) * cap"))
+            .alias("packed_total"),
+        )
+        .selectExpr(
+            "CAST(cap AS BIGINT) AS cap", "tokens", "padded_total",
+            "packed_total",
+            "CAST(tokens * 1000 div padded_total AS BIGINT)"
+            " AS padded_eff_milli",
+            "CAST(tokens * 1000 div packed_total AS BIGINT)"
+            " AS packed_eff_milli",
+        )
+        .orderBy("cap")
+    )
+
+
+def _sql_q67() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    caps = ", ".join(str(c) for c in _Q67_CAPS)
+    return f"""
+WITH e AS (
+  SELECT source, cap, CAST(len({t}) AS BIGINT) AS n
+  FROM documents CROSS JOIN (SELECT unnest([{caps}]) AS cap)),
+per_src AS (
+  SELECT cap, source, SUM(n) AS tot_s,
+         SUM(((n + cap - 1) // cap) * cap) AS padded_s
+  FROM e GROUP BY cap, source)
+SELECT CAST(cap AS BIGINT) AS cap, CAST(SUM(tot_s) AS BIGINT) AS tokens,
+       CAST(SUM(padded_s) AS BIGINT) AS padded_total,
+       CAST(SUM(((tot_s + cap - 1) // cap) * cap) AS BIGINT) AS packed_total,
+       CAST(SUM(tot_s) * 1000 // SUM(padded_s) AS BIGINT)
+         AS padded_eff_milli,
+       CAST(SUM(tot_s) * 1000 // SUM(((tot_s + cap - 1) // cap) * cap)
+            AS BIGINT) AS packed_eff_milli
+FROM per_src GROUP BY cap ORDER BY cap
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6366,6 +6437,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q65_nation_volume": (q65_nation_volume, SQL_Q65),
     "q66_part_supplier_counts": (q66_part_supplier_counts, SQL_Q66),
     "dd16_source_overlap": (dd16_source_overlap, _sql_dd16()),
+    "q67_packing_efficiency": (q67_packing_efficiency, _sql_q67()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -6404,6 +6476,8 @@ _FRONT = [
     "q32_pack_assignments",
     "ev07_license_rules",
     # round-5e additions (never driver-sampled; newest first)
+    "q67_packing_efficiency",
+    "st10_stream_decontaminate",
     "q64_top_suppliers",
     "q65_nation_volume",
     "q66_part_supplier_counts",

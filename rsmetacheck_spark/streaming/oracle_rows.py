@@ -490,6 +490,48 @@ FROM r WHERE rk <= {_ST09_K}
 """
 
 
+def st10_stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING DECONTAMINATION GATE — stream-static LEFT ANTI join,
+    the join shape st04 (inner enrich) and st08 (stream-stream) don't
+    cover: each arriving document's exact-text fingerprint probes a
+    static eval-set fingerprint table (q27's deterministic doc_id%97
+    eval convention, here at exact-match granularity — the cheap filter
+    a pipeline runs AT INGEST, with q27's n-gram overlap as the deeper
+    batch audit) and contaminated docs never reach the sink. The static
+    side broadcasts and is re-planned per micro-batch, so eval-set
+    updates are picked up for free; anti-join against a static side
+    needs NO watermark state at all — the stream stays stateless until
+    the running per-source aggregation. Run to completion in COMPLETE
+    mode == the batch NOT-IN."""
+    docs_path = os.path.join(sf, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(_as_stream_dir(docs_path))
+    evalset = F.broadcast(
+        spark.read.parquet(docs_path)
+        .filter(F.col("doc_id") % 97 == 0)
+        .selectExpr("md5(lower(trim(text))) AS fp")
+        .distinct()
+    )
+    clean = (
+        stream.selectExpr("source", "md5(lower(trim(text))) AS fp")
+        .join(evalset, "fp", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_clean"))
+        .selectExpr("source", "CAST(n_clean AS BIGINT) AS n_clean")
+    )
+    sink = _run_to_memory(clean, "complete")
+    return spark.table(sink)
+
+
+SQL_ST10 = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clean
+FROM documents
+WHERE md5(lower(trim(text))) NOT IN (
+  SELECT DISTINCT md5(lower(trim(text))) FROM documents WHERE doc_id % 97 = 0)
+GROUP BY source
+"""
+
+
 def registry() -> dict:
     return {
         "st01_stream_dedup": (st01_stream_dedup, SQL_ST01),
@@ -501,4 +543,5 @@ def registry() -> dict:
         "st07_stream_distinct": (st07_stream_distinct, _sql_st07()),
         "st08_stream_stream_join": (st08_stream_stream_join, SQL_ST08),
         "st09_stream_topk": (st09_stream_topk, SQL_ST09),
+        "st10_stream_decontaminate": (st10_stream_decontaminate, SQL_ST10),
     }

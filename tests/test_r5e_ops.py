@@ -217,3 +217,74 @@ def test_dd16_plan_has_no_unblocked_join(spark):
     )
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# q67: packing-cap efficiency sweep
+# ---------------------------------------------------------------------------
+
+
+def test_q67_matches_python_reference(spark):
+    from rsmetacheck_spark.queries import _Q67_CAPS, q67_packing_efficiency
+
+    per_src: dict[tuple, list[int]] = defaultdict(lambda: [0, 0])
+    for src, text in _rows("documents", "source, text"):
+        n = len(_toks(text))
+        for cap in _Q67_CAPS:
+            e = per_src[(cap, src)]
+            e[0] += n
+            e[1] += -(-n // cap) * cap
+    want = []
+    for cap in sorted(_Q67_CAPS):
+        tokens = sum(v[0] for (c, _), v in per_src.items() if c == cap)
+        padded = sum(v[1] for (c, _), v in per_src.items() if c == cap)
+        packed = sum(
+            -(-v[0] // cap) * cap for (c, _), v in per_src.items() if c == cap
+        )
+        want.append(
+            (cap, tokens, padded, packed,
+             tokens * 1000 // padded, tokens * 1000 // packed)
+        )
+    got = [
+        (r.cap, r.tokens, r.padded_total, r.packed_total,
+         r.padded_eff_milli, r.packed_eff_milli)
+        for r in q67_packing_efficiency(spark, SF).collect()
+    ]
+    assert got == want
+    # packing can never be less efficient than per-doc padding, and
+    # padding efficiency must fall as the cap outgrows the median doc
+    for _, _, padded, packed, pad_eff, pack_eff in got:
+        assert pack_eff >= pad_eff
+    pad_effs = [r[4] for r in got]
+    assert pad_effs == sorted(pad_effs, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# st10: streaming decontamination gate
+# ---------------------------------------------------------------------------
+
+
+def test_st10_matches_python_reference(spark):
+    from rsmetacheck_spark.streaming.oracle_rows import st10_stream_decontaminate
+
+    fp_eval = {
+        hashlib.md5(t.lower().strip().encode()).hexdigest()
+        for did, t in _rows("documents", "doc_id, text")
+        if did % 97 == 0
+    }
+    clean = Counter()
+    for src, t in _rows("documents", "source, text"):
+        if hashlib.md5(t.lower().strip().encode()).hexdigest() not in fp_eval:
+            clean[src] += 1
+    want = sorted(clean.items())
+    got = sorted(
+        (r.source, r.n_clean)
+        for r in st10_stream_decontaminate(spark, SF).collect()
+    )
+    assert got == want
+    # the gate must actually drop something: every eval doc fingerprints
+    # itself, so totals shrink
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(clean.values()) < total
