@@ -6150,26 +6150,15 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
 
-def dd16_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
-    """CORPUS-level overlap matrix: for every source pair sharing at
-    least one 3-shingle, the EXACT shingle-set Jaccard (per-mille) next
-    to its MinHash ESTIMATE (matching signature components per-mille,
-    dd02's 128 md5+affine permutations aggregated per SOURCE instead of
-    per doc). The dataset-curation question dd02 answers per document —
-    "how much does crawl A duplicate crawl B?" — answered per corpus,
-    with the estimate's error auditable against the exact column.
-
-    Scale shape: exact intersections use the inverted index (self-join
-    keyed on shingle; a shingle in S sources yields ≤ S²/2 pair rows, so
-    hot template shingles are bounded by the SOURCE count, not the doc
-    count — no doc×doc blowup); per-source set sizes and signatures are
-    each one groupBy(source) with map-side combine (the 128 MINs follow
-    dd02's codegen'd-aggregate form); signatures re-enter as two
-    broadcast equi-joins onto the pair rows (the non-equi pairing is
-    inherited from the inverted index — never a BNLJ). Only the
-    |sources|-sized tables ever sit on the reduce side."""
-    from .functions.hashing import NUM_HASHES
-
+def _dd16_sets(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared per-SOURCE shingle-set stage for dd16/dd17: (ss, sizes,
+    inter) — the checkpointed distinct (source, shingle) table, per-
+    source set sizes, and the inverted-index pairwise intersection
+    counts (self-join keyed on the shingle: a shingle in S sources
+    yields ≤ S²/2 pair rows, bounded by the SOURCE count, never
+    doc×doc)."""
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
     ss = (
@@ -6186,6 +6175,28 @@ def dd16_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("n_inter"))
     )
+    return ss, sizes, inter
+
+
+def dd16_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-level overlap matrix: for every source pair sharing at
+    least one 3-shingle, the EXACT shingle-set Jaccard (per-mille) next
+    to its MinHash ESTIMATE (matching signature components per-mille,
+    dd02's 128 md5+affine permutations aggregated per SOURCE instead of
+    per doc). The dataset-curation question dd02 answers per document —
+    "how much does crawl A duplicate crawl B?" — answered per corpus,
+    with the estimate's error auditable against the exact column.
+
+    Scale shape: exact intersections use the inverted index (see
+    _dd16_sets); per-source set sizes and signatures are each one
+    groupBy(source) with map-side combine (the 128 MINs follow dd02's
+    codegen'd-aggregate form); signatures re-enter as two broadcast
+    equi-joins onto the pair rows (the non-equi pairing is inherited
+    from the inverted index — never a BNLJ). Only the |sources|-sized
+    tables ever sit on the reduce side."""
+    from .functions.hashing import NUM_HASHES
+
+    ss, sizes, inter = _dd16_sets(spark, sf)
     hv = ss.selectExpr(
         "source",
         "CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS bigint) % 2147483647 AS h",
@@ -6329,6 +6340,156 @@ FROM per_src GROUP BY cap ORDER BY cap
 """
 
 
+def dd17_source_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """DIRECTIONAL source containment: |A∩B| / |A| per ORDERED source
+    pair (both directions emitted) — dd16's Jaccard says two crawls
+    overlap; containment says WHICH one is inside the other (a small
+    curated set fully contained in a big crawl has tiny Jaccard but
+    containment ~1000 per-mille — the signal that tells a curator to
+    drop the subset, not both). Same shape as dd13's per-doc containment
+    lifted to corpus level, on dd16's shared stage: the inverted-index
+    intersection plus one broadcast size join per direction."""
+    _, sizes, inter = _dd16_sets(spark, sf)
+    both = inter.selectExpr("src_a", "src_b", "n_inter").union(
+        inter.selectExpr("src_b AS src_a", "src_a AS src_b", "n_inter")
+    )
+    return (
+        both
+        .join(F.broadcast(sizes.selectExpr("source AS src_a", "n_sh AS na")), "src_a")
+        .selectExpr(
+            "src_a", "src_b", "CAST(n_inter AS BIGINT) AS n_inter",
+            "CAST(na AS BIGINT) AS n_a",
+            "CAST(n_inter * 1000 div na AS BIGINT) AS containment_milli",
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _sql_dd17() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH tt AS (SELECT source, {t} AS t FROM documents),
+ss AS (
+  SELECT DISTINCT source, sh
+  FROM (SELECT source, unnest({_SHINGLES_DUCK.format(t='t')}) AS sh FROM tt)),
+sizes AS (SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source <> b.source
+  GROUP BY 1, 2)
+SELECT src_a, src_b, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_sh AS BIGINT) AS n_a,
+       CAST(n_inter * 1000 // n_sh AS BIGINT) AS containment_milli
+FROM inter JOIN sizes ON source = src_a
+ORDER BY src_a, src_b
+"""
+
+
+# brands here run Brand#1..Brand#25 and quantities 1..50 — branch bounds
+# chosen non-degenerate at sf0.001 (97 matching lines)
+_Q68_BRANCHES = (
+    ("Brand#12", 1, 15, 1.0, 25.0),
+    ("Brand#23", 1, 20, 10.0, 35.0),
+    ("Brand#3", 1, 25, 20.0, 45.0),
+)
+
+
+def _q68_pred() -> str:
+    return " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {zl} AND {zh}"
+        f" AND l_quantity BETWEEN {ql} AND {qh})"
+        for b, zl, zh, ql, qh in _Q68_BRANCHES
+    )
+
+
+def q68_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 analog (discounted revenue under a DISJUNCTIVE
+    predicate): three OR-branches each constraining BOTH sides of the
+    lineitem⋈part join (brand+size on part, quantity on lineitem).
+
+    The lesson is predicate decomposition: the full DNF references both
+    tables so it can only apply AT the join — but Catalyst derives the
+    single-side residual DNF for EACH side and pushes it into that scan
+    (the part scan's PushedFilters carries the Or-of-brand-equalities,
+    the lineitem scan the Or-of-quantity-ranges; both asserted in
+    tests). At 100 TB that residual pushdown is the
+    difference between joining the whole fact table and joining the
+    ~thousandth that can possibly match. Part broadcasts; one row out."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(_q68_pred())
+        .agg(
+            F.expr(_REV_DMIL).alias("revenue_dmil"),
+            F.count("*").alias("n_lines"),
+        )
+        .selectExpr("revenue_dmil", "CAST(n_lines AS BIGINT) AS n_lines")
+    )
+
+
+def _sql_q68() -> str:
+    return f"""
+SELECT {_REV_DMIL} AS revenue_dmil, CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {_q68_pred()}
+"""
+
+
+_Q69_BUDGET = 10_000_000  # training-run token budget for the epoch plan
+
+
+def q69_epoch_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """TOKEN-BUDGET EPOCH PLAN: given a training-run token budget
+    (_Q69_BUDGET) and q28's uniform target mix, the per-source repeat
+    factor — target tokens per source = budget / |sources|, and
+    epochs_milli = how many times (per-mille) each source's corpus must
+    repeat to fill its share. The missing last step of the mixing story:
+    q28 says WHAT share each domain should get, q30 samples by it, this
+    says HOW MANY PASSES over each domain a trainer actually schedules
+    (epochs > 1000 per-mille = upsampled domain, < 1000 = subsampled).
+
+    Scale shape: one partial-aggregated groupBy(source) for token
+    counts, the 1-row source count re-enters as a broadcast crossJoin —
+    all integer division, partition-invariant."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    per_src = (
+        d.selectExpr("source", f"CAST(size({toks}) AS BIGINT) AS n")
+        .groupBy("source")
+        .agg(F.sum("n").alias("src_tokens"))
+    )
+    nsrc = per_src.agg(F.count("*").alias("n_sources"))
+    return (
+        per_src.crossJoin(F.broadcast(nsrc))
+        .selectExpr(
+            "source", "src_tokens",
+            f"CAST({_Q69_BUDGET} div n_sources AS BIGINT) AS target_tokens",
+            f"CAST(({_Q69_BUDGET} div n_sources) * 1000 div src_tokens"
+            " AS BIGINT) AS epochs_milli",
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_q69() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len({t})) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY source),
+nsrc AS (SELECT COUNT(*) AS n_sources FROM per_src)
+SELECT source, src_tokens,
+       CAST({_Q69_BUDGET} // n_sources AS BIGINT) AS target_tokens,
+       CAST(({_Q69_BUDGET} // n_sources) * 1000 // src_tokens AS BIGINT)
+         AS epochs_milli
+FROM per_src CROSS JOIN nsrc
+ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6438,6 +6599,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q66_part_supplier_counts": (q66_part_supplier_counts, SQL_Q66),
     "dd16_source_overlap": (dd16_source_overlap, _sql_dd16()),
     "q67_packing_efficiency": (q67_packing_efficiency, _sql_q67()),
+    "dd17_source_containment": (dd17_source_containment, _sql_dd17()),
+    "q68_disjunctive_revenue": (q68_disjunctive_revenue, _sql_q68()),
+    "q69_epoch_plan": (q69_epoch_plan, _sql_q69()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -6476,6 +6640,9 @@ _FRONT = [
     "q32_pack_assignments",
     "ev07_license_rules",
     # round-5e additions (never driver-sampled; newest first)
+    "q68_disjunctive_revenue",
+    "q69_epoch_plan",
+    "dd17_source_containment",
     "q67_packing_efficiency",
     "st10_stream_decontaminate",
     "q64_top_suppliers",

@@ -288,3 +288,111 @@ def test_st10_matches_python_reference(spark):
         f"SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet')"
     ).fetchone()[0]
     assert sum(clean.values()) < total
+
+
+# ---------------------------------------------------------------------------
+# dd17: directional source containment
+# ---------------------------------------------------------------------------
+
+
+def test_dd17_matches_python_reference(spark):
+    from rsmetacheck_spark.queries import dd17_source_containment
+
+    per_src: dict[str, set] = defaultdict(set)
+    for src, text in _rows("documents", "source, text"):
+        per_src[src] |= _shingles(_toks(text))
+    want = []
+    for a in per_src:
+        for b in per_src:
+            if a == b:
+                continue
+            inter = len(per_src[a] & per_src[b])
+            if inter == 0:
+                continue
+            want.append((a, b, inter, len(per_src[a]),
+                         inter * 1000 // len(per_src[a])))
+    got = [
+        (r.src_a, r.src_b, r.n_inter, r.n_a, r.containment_milli)
+        for r in dd17_source_containment(spark, SF).collect()
+    ]
+    assert got == sorted(want)
+    # directionality: containment is asymmetric whenever set sizes differ
+    by_pair = {(a, b): c for a, b, _, _, c in got}
+    assert any(
+        by_pair.get((b, a)) is not None and c != by_pair[(b, a)]
+        for (a, b), c in by_pair.items()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q68: disjunctive-predicate revenue (TPC-H Q19 analog)
+# ---------------------------------------------------------------------------
+
+
+def test_q68_matches_python_reference(spark):
+    from rsmetacheck_spark.queries import _Q68_BRANCHES, q68_disjunctive_revenue
+
+    part = {
+        pk: (b, z)
+        for pk, b, z in _rows("part", "p_partkey, p_brand, p_size")
+    }
+    rev = n = 0
+    for pk, q, pr, dc in _rows(
+        "lineitem", "l_partkey, l_quantity, l_extendedprice, l_discount"
+    ):
+        b, z = part[pk]
+        if any(
+            b == br and zl <= z <= zh and ql <= q <= qh
+            for br, zl, zh, ql, qh in _Q68_BRANCHES
+        ):
+            rev += _rev_dmil(pr, dc)
+            n += 1
+    row = q68_disjunctive_revenue(spark, SF).collect()[0]
+    assert (row.revenue_dmil, row.n_lines) == (rev, n)
+    assert n > 0
+
+
+def test_q68_residual_predicates_are_pushed(spark):
+    """The DNF references both join sides so it stays at the join, but
+    its single-side residual (p_brand IN the three brands) must reach
+    the part scan's PushedFilters — the decomposition that keeps a
+    100 TB fact join from reading non-matching dimension row groups."""
+    from rsmetacheck_spark.queries import q68_disjunctive_revenue
+
+    plan = (
+        q68_disjunctive_revenue(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pushed = [
+        seg.split(", ReadSchema")[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    # Catalyst derives the full per-side residual DNF, not just an IN:
+    # the part scan gets the Or-of-brand-equalities, the lineitem scan
+    # the Or-of-quantity-ranges
+    assert any("EqualTo(p_brand" in p and "Or(" in p for p in pushed), pushed
+    assert any("l_quantity" in p and "Or(" in p for p in pushed), pushed
+
+
+# ---------------------------------------------------------------------------
+# q69: token-budget epoch plan
+# ---------------------------------------------------------------------------
+
+
+def test_q69_matches_python_reference(spark):
+    from rsmetacheck_spark.queries import _Q69_BUDGET, q69_epoch_plan
+
+    tokens = Counter()
+    for src, text in _rows("documents", "source, text"):
+        tokens[src] += len(_toks(text))
+    target = _Q69_BUDGET // len(tokens)
+    want = sorted(
+        (s, t, target, target * 1000 // t) for s, t in tokens.items()
+    )
+    got = [
+        (r.source, r.src_tokens, r.target_tokens, r.epochs_milli)
+        for r in q69_epoch_plan(spark, SF).collect()
+    ]
+    assert got == want
+    # the plan must actually re-weight: not all sources repeat equally
+    assert len({e for _, _, _, e in got}) > 1
