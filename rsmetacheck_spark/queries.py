@@ -6490,6 +6490,107 @@ ORDER BY source
 """
 
 
+def q70_priority_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 analog (order-priority checking): orders from H2-1997
+    with AT LEAST ONE late lineitem (shipdate > orderdate + 60 days —
+    the q59 lateness convention), counted by priority.
+
+    The textbook form is a correlated EXISTS; Spark-first it is a LEFT
+    SEMI join — the probe side carries no payload, duplicates on the
+    build side never multiply rows, and the join can short-circuit on
+    first match. The semi's build side pre-filters lineitem to the
+    candidate orders' key range via the date window pushed to the scan.
+    One orderkey-keyed shuffle, then a |priorities|-row groupBy. The
+    DuckDB oracle keeps the EXISTS form — two-formulation proof."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q59_LATE_DAYS} DAY")
+    ).select("l_orderkey")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .selectExpr("o_orderpriority", "CAST(order_count AS BIGINT) AS order_count")
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_Q70 = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                                   + INTERVAL {_Q59_LATE_DAYS} DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q71_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 analog (local supplier volume): revenue where the
+    CUSTOMER'S nation equals the SUPPLIER'S nation — the join topology
+    that closes a LOOP: lineitem reaches one nation key through
+    orders⋈customer and another through supplier, and the query
+    predicate equates the two. Unlike q65 (which groups the cross
+    product of the two roles), the loop predicate here prunes at join
+    time: the supplier join condition includes the nation equality, so
+    non-local rows never reach the aggregation.
+
+    Scale shape: supplier and nation broadcast; orders⋈customer shuffles
+    on custkey, then the fact join on orderkey; the nation-equality
+    rides the supplier broadcast join's condition (an extra conjunct on
+    a hash join, not a filter after it). |nations| rows out, 1996
+    orders only."""
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    oc = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_nationkey")
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(oc, li.l_orderkey == oc.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.expr(_REV_DMIL).alias("revenue_dmil"))
+        .orderBy(F.desc("revenue_dmil"), F.asc("n_name"))
+    )
+
+
+SQL_Q71 = f"""
+SELECT n_name, {_REV_DMIL} AS revenue_dmil
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_dmil DESC, n_name ASC
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6602,6 +6703,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dd17_source_containment": (dd17_source_containment, _sql_dd17()),
     "q68_disjunctive_revenue": (q68_disjunctive_revenue, _sql_q68()),
     "q69_epoch_plan": (q69_epoch_plan, _sql_q69()),
+    "q70_priority_semi": (q70_priority_semi, SQL_Q70),
+    "q71_local_supplier_volume": (q71_local_supplier_volume, SQL_Q71),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -6640,6 +6743,8 @@ _FRONT = [
     "q32_pack_assignments",
     "ev07_license_rules",
     # round-5e additions (never driver-sampled; newest first)
+    "q70_priority_semi",
+    "q71_local_supplier_volume",
     "q68_disjunctive_revenue",
     "q69_epoch_plan",
     "dd17_source_containment",

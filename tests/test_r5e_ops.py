@@ -396,3 +396,79 @@ def test_q69_matches_python_reference(spark):
     assert got == want
     # the plan must actually re-weight: not all sources repeat equally
     assert len({e for _, _, _, e in got}) > 1
+
+
+# ---------------------------------------------------------------------------
+# q70: order-priority semi-join (TPC-H Q4 analog)
+# ---------------------------------------------------------------------------
+
+
+def test_q70_matches_python_reference(spark):
+    from rsmetacheck_spark.queries import _Q59_LATE_DAYS, q70_priority_semi
+    from datetime import timedelta
+
+    lo, hi = datetime(1997, 7, 1), datetime(1998, 1, 1)
+    orders = {
+        ok: (od, pr)
+        for ok, od, pr in _rows(
+            "orders", "o_orderkey, o_orderdate, o_orderpriority"
+        )
+        if lo <= od < hi
+    }
+    late_orders = set()
+    for ok, sd in _rows("lineitem", "l_orderkey, l_shipdate"):
+        if ok in orders and sd > orders[ok][0] + timedelta(days=_Q59_LATE_DAYS):
+            late_orders.add(ok)
+    cnt = Counter(orders[ok][1] for ok in late_orders)
+    want = sorted(cnt.items())
+    got = [
+        (r.o_orderpriority, r.order_count)
+        for r in q70_priority_semi(spark, SF).collect()
+    ]
+    assert got == want
+    assert len(got) > 0
+
+
+def test_q70_plan_uses_left_semi(spark):
+    """The EXISTS must compile to a semi join (no row multiplication
+    from duplicate build rows), not an inner join + distinct."""
+    from rsmetacheck_spark.queries import q70_priority_semi
+
+    plan = (
+        q70_priority_semi(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# q71: local supplier volume (TPC-H Q5 analog — the nation loop)
+# ---------------------------------------------------------------------------
+
+
+def test_q71_matches_python_reference(spark):
+    from rsmetacheck_spark.queries import q71_local_supplier_volume
+
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+    nation = {nk: nm for nk, nm in _rows("nation", "n_nationkey, n_name")}
+    cust_nk = {ck: nk for ck, nk in _rows("customer", "c_custkey, c_nationkey")}
+    supp_nk = {sk: nk for sk, nk in _rows("supplier", "s_suppkey, s_nationkey")}
+    order_nk = {
+        ok: cust_nk[ck]
+        for ok, ck, od in _rows("orders", "o_orderkey, o_custkey, o_orderdate")
+        if lo <= od < hi
+    }
+    rev = Counter()
+    for ok, sk, pr, dc in _rows(
+        "lineitem", "l_orderkey, l_suppkey, l_extendedprice, l_discount"
+    ):
+        nk = order_nk.get(ok)
+        if nk is not None and supp_nk[sk] == nk:
+            rev[nation[nk]] += _rev_dmil(pr, dc)
+    want = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [
+        (r.n_name, r.revenue_dmil)
+        for r in q71_local_supplier_volume(spark, SF).collect()
+    ]
+    assert got == want
+    assert len(got) > 0
