@@ -108,6 +108,11 @@ def main() -> None:
     timed("q63_bpe_train3", lambda: Q.q63_bpe_train3(spark, sf).count())
     timed("dd16_source_overlap",
           lambda: Q.dd16_source_overlap(spark, sf).count())
+    timed("dd17_source_containment",
+          lambda: Q.dd17_source_containment(spark, sf).count())
+    timed("q67_packing_efficiency",
+          lambda: Q.q67_packing_efficiency(spark, sf).count())
+    timed("q69_epoch_plan", lambda: Q.q69_epoch_plan(spark, sf).count())
 
     t0 = time.time()
     ev = build_events(spark, args.ev_copies)
@@ -130,6 +135,11 @@ def main() -> None:
     timed("q65_nation_volume", lambda: Q.q65_nation_volume(spark, tp).count())
     timed("q66_part_supplier_counts",
           lambda: Q.q66_part_supplier_counts(spark, tp).count())
+    timed("q68_disjunctive_revenue",
+          lambda: Q.q68_disjunctive_revenue(spark, tp).count())
+    timed("q70_priority_semi", lambda: Q.q70_priority_semi(spark, tp).count())
+    timed("q71_local_supplier_volume",
+          lambda: Q.q71_local_supplier_volume(spark, tp).count())
 
 
 if __name__ == "__main__":
