@@ -275,3 +275,37 @@ def test_q63_double_space_replace_is_greedy_merge():
     ]
     for syms, a, b in cases:
         assert via_replace(syms, a, b) == greedy(syms, a, b), (syms, a, b)
+
+
+def test_q63_replace_is_greedy_merge_property():
+    """Hypothesis: on RANDOM symbol streams and merge pairs, the padded
+    double-space replace equals greedy leftmost non-overlapping merging
+    — the identity q63's trainer and q51's applier both stand on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sym = st.sampled_from(["a", "b", "ab", "ba", "x", "aa"])
+
+    def via_replace(syms, a, b):
+        s = " ".join(syms)
+        padded = "  " + s.replace(" ", "  ") + "  "
+        out = padded.replace(f" {a}  {b} ", f" {a}{b} ")
+        return [x for x in out.split(" ") if x]
+
+    def greedy(syms, a, b):
+        res, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                res.append(a + b)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        return res
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.lists(sym, max_size=12), sym, sym)
+    def check(syms, a, b):
+        assert via_replace(syms, a, b) == greedy(syms, a, b), (syms, a, b)
+
+    check()
