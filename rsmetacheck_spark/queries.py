@@ -6591,6 +6591,98 @@ ORDER BY revenue_dmil DESC, n_name ASC
 """
 
 
+def _q72_flag_exprs() -> list[tuple[str, str]]:
+    """(rule_name, SQL boolean) for q20's four quality rules — shared
+    verbatim between the Spark and DuckDB formulations of q72."""
+    return [
+        ("lang", f"lang IN {DOC_KEEP_LANGS!r}"),
+        ("mean_word_len",
+         f"mean_word_len BETWEEN {TH.MIN_MEAN_WORD_LEN}"
+         f" AND {TH.MAX_MEAN_WORD_LEN}"),
+        ("stop_frac", f"stop_frac >= {DOC_MIN_STOP_FRAC}"),
+        ("tokens", f"n_tokens BETWEEN {DOC_MIN_TOKENS} AND {DOC_MAX_TOKENS}"),
+    ]
+
+
+def q72_rule_ablation(spark: SparkSession, sf: str) -> DataFrame:
+    """RULE ABLATION TABLE — the counterfactual a curator actually asks
+    of a quality gate: per rule, how many docs fail it, how many fail
+    ONLY it, and what the keep count becomes if that one rule is
+    dropped (= keep_base + unique failures — docs failing only that
+    rule are exactly the ones a drop rescues). Over q20's four rules
+    with keep = all four pass. A rule with n_fail >> n_unique_fail is
+    redundant with the others; one with large n_unique_fail is load-
+    bearing and dropping it moves the corpus most.
+
+    Scale shape: features compute ONCE (the _doc_feats fused tokenize),
+    the 17 conditional sums partial-aggregate map-side to a single row,
+    and `stack` unpivots that 1-row aggregate to |rules| output rows —
+    the corpus is scanned once, nothing keyed shuffles."""
+    rules = _q72_flag_exprs()
+    f = _doc_feats(spark, sf).selectExpr(
+        *[f"CAST({expr} AS INT) AS r_{n}" for n, expr in rules]
+    )
+    names = [n for n, _ in rules]
+    aggs = [F.sum(F.lit(1)).alias("n_docs")]
+    all_pass = " * ".join(f"r_{n}" for n in names)
+    aggs.append(F.expr(f"SUM({all_pass})").alias("keep_base"))
+    for n in names:
+        others = " * ".join(f"r_{m}" for m in names if m != n)
+        aggs.append(F.expr(f"SUM(1 - r_{n})").alias(f"fail_{n}"))
+        aggs.append(
+            F.expr(f"SUM((1 - r_{n}) * {others})").alias(f"uniq_{n}")
+        )
+    stack_args = ", ".join(
+        f"'{n}', fail_{n}, uniq_{n}" for n in names
+    )
+    return (
+        f.agg(*aggs)
+        .selectExpr(
+            "keep_base",
+            f"stack({len(names)}, {stack_args})"
+            " AS (rule, n_fail, n_unique_fail)",
+        )
+        .selectExpr(
+            "rule", "CAST(n_fail AS BIGINT) AS n_fail",
+            "CAST(n_unique_fail AS BIGINT) AS n_unique_fail",
+            "CAST(keep_base AS BIGINT) AS keep_base",
+            "CAST(keep_base + n_unique_fail AS BIGINT) AS keep_if_dropped",
+        )
+        .orderBy("rule")
+    )
+
+
+def _sql_q72() -> str:
+    rules = _q72_flag_exprs()
+    names = [n for n, _ in rules]
+    flag_cols = ", ".join(
+        f"CAST({expr} AS INT) AS r_{n}" for n, expr in rules
+    )
+    all_pass = " * ".join(f"r_{n}" for n in names)
+    per_rule = []
+    for n in names:
+        others = " * ".join(f"r_{m}" for m in names if m != n)
+        per_rule.append(
+            f"SUM(1 - r_{n}) AS fail_{n},"
+            f" SUM((1 - r_{n}) * {others}) AS uniq_{n}"
+        )
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS rule, CAST(fail_{n} AS BIGINT) AS n_fail,"
+        f" CAST(uniq_{n} AS BIGINT) AS n_unique_fail,"
+        f" CAST(keep_base AS BIGINT) AS keep_base,"
+        f" CAST(keep_base + uniq_{n} AS BIGINT) AS keep_if_dropped"
+        f" FROM a"
+        for n in names
+    )
+    return f"""
+WITH f AS ({_DOC_FEATS_SQL}),
+fl AS (SELECT {flag_cols} FROM f),
+a AS (SELECT SUM({all_pass}) AS keep_base, {', '.join(per_rule)} FROM fl)
+{branches}
+ORDER BY rule
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6705,6 +6797,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q69_epoch_plan": (q69_epoch_plan, _sql_q69()),
     "q70_priority_semi": (q70_priority_semi, SQL_Q70),
     "q71_local_supplier_volume": (q71_local_supplier_volume, SQL_Q71),
+    "q72_rule_ablation": (q72_rule_ablation, _sql_q72()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -6743,6 +6836,7 @@ _FRONT = [
     "q32_pack_assignments",
     "ev07_license_rules",
     # round-5e additions (never driver-sampled; newest first)
+    "q72_rule_ablation",
     "q70_priority_semi",
     "q71_local_supplier_volume",
     "q68_disjunctive_revenue",

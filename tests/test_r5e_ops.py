@@ -472,3 +472,55 @@ def test_q71_matches_python_reference(spark):
     ]
     assert got == want
     assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# q72: quality-rule ablation table
+# ---------------------------------------------------------------------------
+
+
+def test_q72_matches_python_reference(spark):
+    from rsmetacheck_spark import thresholds as TH
+    from rsmetacheck_spark.queries import (
+        DOC_KEEP_LANGS, DOC_MAX_TOKENS, DOC_MIN_STOP_FRAC, DOC_MIN_TOKENS,
+        q72_rule_ablation,
+    )
+    _STOPWORDS = set(TH.STOPWORD_UNION)
+
+    flags = []
+    for lang, text in _rows("documents", "lang, text"):
+        t = _toks(text)
+        n = len(t)
+        stop_frac = round(
+            sum(1 for x in t if x in _STOPWORDS) / max(n, 1), 6
+        )
+        import re as _re
+
+        mwl = round(
+            len(_re.sub(r"[^a-z0-9]", "", text.lower())) / max(n, 1), 6
+        )
+        flags.append({
+            "lang": lang in DOC_KEEP_LANGS,
+            "mean_word_len": TH.MIN_MEAN_WORD_LEN <= mwl <= TH.MAX_MEAN_WORD_LEN,
+            "stop_frac": stop_frac >= DOC_MIN_STOP_FRAC,
+            "tokens": DOC_MIN_TOKENS <= n <= DOC_MAX_TOKENS,
+        })
+    keep_base = sum(1 for f in flags if all(f.values()))
+    want = []
+    for rule in sorted(flags[0]):
+        n_fail = sum(1 for f in flags if not f[rule])
+        n_uniq = sum(
+            1 for f in flags
+            if not f[rule] and all(v for k, v in f.items() if k != rule)
+        )
+        want.append((rule, n_fail, n_uniq, keep_base, keep_base + n_uniq))
+    got = [
+        (r.rule, r.n_fail, r.n_unique_fail, r.keep_base, r.keep_if_dropped)
+        for r in q72_rule_ablation(spark, SF).collect()
+    ]
+    assert got == want
+    # invariants: unique failures never exceed total failures, and
+    # dropping a rule can only grow the keep set
+    for _, n_fail, n_uniq, kb, kd in got:
+        assert 0 <= n_uniq <= n_fail
+        assert kd >= kb
