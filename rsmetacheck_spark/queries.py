@@ -6683,6 +6683,121 @@ ORDER BY rule
 """
 
 
+_G04_K = 2  # k-core degree threshold
+
+
+def g04_kcore_round(spark: SparkSession, sf: str) -> DataFrame:
+    """One K-CORE PEELING round over the mutual-kNN graph: drop nodes
+    with degree < K, report each survivor's degree before and after the
+    induced-subgraph contraction. The density filter of the graph
+    family — g01 scores local closure, g03 assigns communities, this
+    strips hubs-of-nothing (embedding-space outliers whose few links
+    die with their low-degree neighbors). One round is the oracle-
+    checkable unit (the km01/g02 framing); full decomposition iterates
+    it, shrinking monotonically.
+
+    Scale shape: degrees are one symmetrized groupBy(node); the
+    survivor set re-enters as TWO SEMI joins on the edge endpoints
+    (never a collect of the node set); the induced re-count is a second
+    groupBy. Everything is keyed on node id over the (small,
+    checkpointed) edge list — nothing node-quadratic."""
+    e = _sim08_edges(spark, sf)
+    sym = e.selectExpr("id_a AS v", "id_b AS w").union(
+        e.selectExpr("id_b AS v", "id_a AS w")
+    )
+    deg0 = sym.groupBy("v").agg(F.count("*").alias("deg0"))
+    keep = deg0.filter(F.col("deg0") >= _G04_K).select("v")
+    induced = (
+        sym.join(keep, "v", "left_semi")
+        .join(keep.selectExpr("v AS w"), "w", "left_semi")
+    )
+    deg1 = induced.groupBy("v").agg(F.count("*").alias("deg1"))
+    return (
+        deg0.join(keep, "v", "left_semi")
+        .join(deg1, "v", "left")
+        .selectExpr(
+            "v AS vec_id", "CAST(deg0 AS BIGINT) AS deg0",
+            "CAST(coalesce(deg1, 0) AS BIGINT) AS deg1",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _sql_g04() -> str:
+    return f"""
+WITH {_sql_sim08_ctes()},
+sym AS (
+  SELECT id_a AS v, id_b AS w FROM mknn
+  UNION ALL SELECT id_b AS v, id_a AS w FROM mknn),
+deg0 AS (SELECT v, COUNT(*) AS deg0 FROM sym GROUP BY v),
+keep AS (SELECT v FROM deg0 WHERE deg0 >= {_G04_K}),
+induced AS (
+  SELECT s.v, s.w FROM sym s
+  WHERE s.v IN (SELECT v FROM keep) AND s.w IN (SELECT v FROM keep)),
+deg1 AS (SELECT v, COUNT(*) AS deg1 FROM induced GROUP BY v)
+SELECT d0.v AS vec_id, CAST(d0.deg0 AS BIGINT) AS deg0,
+       CAST(COALESCE(d1.deg1, 0) AS BIGINT) AS deg1
+FROM deg0 d0 JOIN keep USING (v) LEFT JOIN deg1 d1 ON d1.v = d0.v
+ORDER BY vec_id
+"""
+
+
+def dd18_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """PREFIX-CANONICAL dedup — the leading-boilerplate detector: group
+    documents whose first 8 tokens agree after canonicalization
+    (lowercase tokenize, digits masked to '0' so dates/counters/ids
+    stop splitting groups). Shared intros are how template families
+    show up before any similarity machinery runs (the C4 observation
+    that boilerplate concentrates at document starts); dd01's whole-
+    text hash can't see them. Pure map + one groupBy. Returns groups
+    with >1 member: canonical prefix hash, representative (min doc_id),
+    group size, and n_raw_groups = distinct FULL texts inside — when
+    n_raw_groups > 1 the prefix group spans genuinely different docs,
+    i.e. a shared template, not an exact duplicate."""
+    d = _t(spark, sf, "documents")
+    toks = _TOKS_SPARK.format(c="text")
+    canon = (
+        f"md5(regexp_replace(concat_ws(' ', slice({toks}, 1, 8)),"
+        " '[0-9]+', '0'))"
+    )
+    return (
+        d.selectExpr(
+            f"{canon} AS canon_md5",
+            "md5(lower(trim(text))) AS raw_md5",
+            "doc_id",
+        )
+        .groupBy("canon_md5")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count("*").alias("n_docs"),
+            F.countDistinct("raw_md5").alias("n_raw_groups"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .selectExpr(
+            "canon_md5", "rep_doc_id", "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(n_raw_groups AS BIGINT) AS n_raw_groups",
+        )
+        .orderBy("canon_md5")
+    )
+
+
+def _sql_dd18() -> str:
+    t = _TOKS_DUCK.format(c="text")
+    return f"""
+SELECT canon_md5, MIN(doc_id) AS rep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT raw_md5) AS BIGINT) AS n_raw_groups
+FROM (
+  SELECT md5(regexp_replace(
+           coalesce(array_to_string(({t})[1:8], ' '), ''),
+           '[0-9]+', '0', 'g')) AS canon_md5,
+         md5(lower(trim(text))) AS raw_md5, doc_id
+  FROM documents)
+GROUP BY canon_md5 HAVING COUNT(*) > 1
+ORDER BY canon_md5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6798,6 +6913,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q70_priority_semi": (q70_priority_semi, SQL_Q70),
     "q71_local_supplier_volume": (q71_local_supplier_volume, SQL_Q71),
     "q72_rule_ablation": (q72_rule_ablation, _sql_q72()),
+    "g04_kcore_round": (g04_kcore_round, _sql_g04()),
+    "dd18_canonical_dedup": (dd18_canonical_dedup, _sql_dd18()),
 }
 
 # Evidence-document model: array<struct> cross-evidence detector family
@@ -6836,6 +6953,8 @@ _FRONT = [
     "q32_pack_assignments",
     "ev07_license_rules",
     # round-5e additions (never driver-sampled; newest first)
+    "g04_kcore_round",
+    "dd18_canonical_dedup",
     "q72_rule_ablation",
     "q70_priority_semi",
     "q71_local_supplier_volume",

@@ -524,3 +524,67 @@ def test_q72_matches_python_reference(spark):
     for _, n_fail, n_uniq, kb, kd in got:
         assert 0 <= n_uniq <= n_fail
         assert kd >= kb
+
+
+# ---------------------------------------------------------------------------
+# g04: one k-core peeling round over the mutual-kNN graph
+# ---------------------------------------------------------------------------
+
+
+def test_g04_matches_python_reference(spark):
+    from rsmetacheck_spark.queries import _G04_K, _sim08_edges, g04_kcore_round
+
+    edges = [(r.id_a, r.id_b) for r in _sim08_edges(spark, SF).collect()]
+    deg0 = Counter()
+    for a, b in edges:
+        deg0[a] += 1
+        deg0[b] += 1
+    keep = {v for v, d in deg0.items() if d >= _G04_K}
+    deg1 = Counter()
+    for a, b in edges:
+        if a in keep and b in keep:
+            deg1[a] += 1
+            deg1[b] += 1
+    want = sorted((v, deg0[v], deg1.get(v, 0)) for v in keep)
+    got = [
+        (r.vec_id, r.deg0, r.deg1)
+        for r in g04_kcore_round(spark, SF).collect()
+    ]
+    assert got == want
+    # peeling contracts: induced degree never exceeds the original, and
+    # at least one survivor must have lost a neighbor for the round to
+    # be non-trivial on this graph
+    assert all(d1 <= d0 for _, d0, d1 in got)
+    assert any(d1 < d0 for _, d0, d1 in got)
+
+
+# ---------------------------------------------------------------------------
+# dd18: prefix-canonical dedup (leading-boilerplate detector)
+# ---------------------------------------------------------------------------
+
+
+def test_dd18_matches_python_reference(spark):
+    import re as _re
+
+    from rsmetacheck_spark.queries import dd18_canonical_dedup
+
+    groups: dict[str, list] = defaultdict(list)
+    for did, text in _rows("documents", "doc_id, text"):
+        prefix = _re.sub(r"[0-9]+", "0", " ".join(_toks(text)[:8]))
+        canon = hashlib.md5(prefix.encode()).hexdigest()
+        raw = hashlib.md5(text.lower().strip().encode()).hexdigest()
+        groups[canon].append((did, raw))
+    want = sorted(
+        (c, min(d for d, _ in m), len(m), len({r for _, r in m}))
+        for c, m in groups.items()
+        if len(m) > 1
+    )
+    got = [
+        (r.canon_md5, r.rep_doc_id, r.n_docs, r.n_raw_groups)
+        for r in dd18_canonical_dedup(spark, SF).collect()
+    ]
+    assert got == want
+    assert len(got) > 0
+    # template groups, not exact dupes: this corpus has no exact-dup
+    # texts, so every group must span distinct full documents
+    assert all(nrg == nd for _, _, nd, nrg in got)
