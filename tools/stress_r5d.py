@@ -113,6 +113,9 @@ def main() -> None:
     timed("q67_packing_efficiency",
           lambda: Q.q67_packing_efficiency(spark, sf).count())
     timed("q69_epoch_plan", lambda: Q.q69_epoch_plan(spark, sf).count())
+    timed("q72_rule_ablation", lambda: Q.q72_rule_ablation(spark, sf).count())
+    timed("dd18_canonical_dedup",
+          lambda: Q.dd18_canonical_dedup(spark, sf).count())
 
     t0 = time.time()
     ev = build_events(spark, args.ev_copies)
