@@ -70,7 +70,14 @@ def rule_metrics_table(pages_out: DataFrame) -> DataFrame:
         .select(
             "rule",
             F.coalesce("hits", F.lit(0)).alias("hits"),
-            F.round(F.coalesce("hits", F.lit(0)) * 100.0 / F.col("total_docs"), 2).alias("pct"),
+            # greatest(total, 1): a zero-row corpus must yield pct=0.0,
+            # not an ANSI DIVIDE_BY_ZERO that aborts the metrics write
+            # (found by the empty-input observed-counters probe)
+            F.round(
+                F.coalesce("hits", F.lit(0)) * 100.0
+                / F.greatest(F.col("total_docs"), F.lit(1)),
+                2,
+            ).alias("pct"),
             F.coalesce("lang_counts", empty_map).alias("lang_counts"),
         )
     )

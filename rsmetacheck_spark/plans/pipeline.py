@@ -50,6 +50,9 @@ class PipelineResult:
     metrics: DataFrame
     lineage: DataFrame
     snapshot: str | None = None
+    # global counters observed DURING the sink write (free — no extra
+    # scan or job; see the Observation in materialize)
+    observed: dict | None = None
 
 
 def verdict_plan(pages: DataFrame, text_input: bool = False) -> DataFrame:
@@ -210,7 +213,25 @@ def materialize(
     # bucket. The model stage still parallelizes at the scan partitioning,
     # upstream of this exchange.
     clustered = encode_for_sink(plan).repartition(TH.N_BUCKETS, "bucket")
+    # Global counters ride the WRITE action itself (AggregatingAccumulator
+    # under CollectMetrics): at 100 TB this is n_docs/n_keep/n_errors for
+    # free — no separate count job, no second scan of the sink. The
+    # metrics/lineage tables still aggregate the sink (they need per-rule
+    # breakdowns); tests assert the observed counters equal the
+    # sink-derived ones.
+    from pyspark.sql import Observation
+
+    obs = Observation("sink_counters")
+    clustered = clustered.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum(F.col("model_error").isNotNull().cast("long")).alias(
+            "n_model_errors"
+        ),
+    )
     snapshot = write_table(clustered, pages_path, partition_by=("bucket",))
+    observed = {k: (v if v is not None else 0) for k, v in obs.get.items()}
     # Read back with the plan's schema: an empty input writes no data files
     # and schema inference would fail (probe-found edge case).
     pages_out = decode_from_sink(spark.read.schema(plan.schema).parquet(pages_path))
@@ -230,6 +251,7 @@ def materialize(
         metrics=spark.read.schema(metrics.schema).parquet(os.path.join(out_dir, "metrics")),
         lineage=spark.read.schema(lineage.schema).parquet(os.path.join(out_dir, "lineage")),
         snapshot=snapshot,
+        observed=observed,
     )
 
 
