@@ -4222,40 +4222,113 @@ FROM documents
 _MKNN_K = 3  # neighbors per vector before the mutuality filter
 
 
+def _np_round6(x):
+    """Vectorized EXACT mirror of round(x, 6) as both engines compute it
+    on doubles. Fast path: floor(x*1e6 + 0.5)/1e6. The multiply's ~1e-10
+    absolute error can only flip the result when the scaled fraction sits
+    inside a 1e-6 guard band around the HALF_UP decision boundary, so
+    those (vanishingly rare) elements fall back to decimal HALF_UP on
+    repr(x) — the same shortest-decimal-representation rounding Spark's
+    Round(DoubleType) performs via BigDecimal.valueOf. fl(m/1e6) is the
+    correctly-rounded double of the exact decimal m*10^-6, matching
+    BigDecimal.doubleValue, so the fast path's final division is exact
+    in the same sense."""
+    import numpy as np
+
+    y = x * 1e6
+    r = np.floor(y + 0.5)
+    frac = y - np.floor(y)
+    out = r / 1e6
+    sus = np.abs(frac - 0.5) < 1e-6
+    if sus.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        xs = np.asarray(x)
+        for idx in zip(*np.nonzero(sus)):
+            out[idx] = float(
+                Decimal(repr(float(xs[idx]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    return out
+
+
+def _sim08_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """The per-cluster exact-kNN stage of sim08, checkpointed (sim08's
+    mutuality filter, g01's triangle closure and g02's PageRank all
+    consume it, so the heavy stage is priced once per session like the
+    dd02 signature table). Candidate generation is cluster-blocked like
+    dd14 (km01's map-only assignment), so pair formation is bounded by
+    cluster size, never corpus-quadratic — the IVF trade: recall loss
+    only across cluster boundaries.
+
+    Round-6 rewrite (guide §4.2): the per-pair interpreted
+    aggregate(zip_with(...)) dot product — ~3.2e9 lambda evaluations at
+    sf1.0 (20k vectors / 8 clusters / 64 dims), ~500 s — becomes one
+    applyInPandas per cluster that computes the gram block in NumPy and
+    emits ONLY the top-k rows per vector. Arithmetic is kept bitwise
+    identical to the old plan: the dot accumulates column-by-column in
+    float64 (acc = fl(acc + fl(x_j*y_j)), the exact left-fold the SQL
+    lambda performed), rounding is _np_round6 (exact HALF_UP mirror),
+    and ranking sorts stably by (-cos, id) — ties to the lowest
+    neighbor id, as the old row_number() window did. Row-blocked so a
+    task's gram buffer stays ~B*n doubles regardless of cluster size."""
+    import pandas as pd
+
+    asg = _km01_assigned(spark, sf).select("vec_id", "cid")
+    uv = _dd05_unit(spark, sf)
+    blocks = asg.join(uv, "vec_id").select("cid", "vec_id", "u")
+
+    def knn_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
+        if n < 2:
+            return empty
+        U = np.stack(pdf["u"].to_numpy()).astype(np.float64, copy=False)
+        k = min(_MKNN_K, n - 1)
+        frames = [empty]
+        blk = 2048  # bounds the gram buffer at blk*n doubles
+        for lo in range(0, n, blk):
+            hi = min(lo + blk, n)
+            g = np.zeros((hi - lo, n))
+            t = np.empty_like(g)
+            for j in range(U.shape[1]):
+                # column-ordered accumulation == the SQL left-fold
+                np.multiply(U[lo:hi, j, None], U[None, :, j], out=t)
+                g += t
+            r = _np_round6(g)
+            r[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf  # no self
+            order = np.argsort(-r, axis=1, kind="stable")[:, :k]
+            frames.append(pd.DataFrame({
+                "id_a": np.repeat(ids[lo:hi], k),
+                "id_b": ids[order].ravel(),
+                "cos_sim": np.take_along_axis(r, order, axis=1).ravel(),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    knn = blocks.groupBy("cid").applyInPandas(
+        knn_block, "id_a long, id_b long, cos_sim double"
+    )
+    return _checkpoint(knn, "sim08_knn", key=f"sim08_knn:{_sfkey(sf)}")
+
+
 def sim08_mutual_knn(spark: SparkSession, sf: str) -> DataFrame:
     """Mutual-kNN GRAPH construction — the edge set clustering and
     graph-based dedup pipelines consume (an edge survives only if each
     endpoint is in the other's top-k, which prunes hub vectors that
-    appear in everyone's neighbor list). Candidate generation is
-    cluster-blocked like dd14 (km01's map-only assignment): per-cluster
-    kNN is an equi-join on cluster id + a per-vector top-k window, so
-    pair formation is bounded by cluster size, never corpus-quadratic —
-    the IVF trade: recall loss only across cluster boundaries. The
-    mutuality filter is a self-join of the tiny top-k edge list on the
-    reversed key pair. Exact round-6 cosine on the shared dd05 unit
-    vectors; ties broken by neighbor id, so the graph is deterministic."""
-    asg = _km01_assigned(spark, sf).select("vec_id", "cid")
-    uv = _dd05_unit(spark, sf)
-    a = asg.selectExpr("vec_id AS id_a", "cid")
-    b = asg.selectExpr("vec_id AS id_b", "cid")
-    dot = (
-        "aggregate(zip_with(u_a, u_b, (x, y) -> x * y),"
-        " CAST(0 AS double), (acc, x) -> acc + x)"
-    )
-    scored = (
-        a.join(b, "cid").filter(F.col("id_a") != F.col("id_b"))
-        .join(uv.selectExpr("vec_id AS id_a", "u AS u_a"), "id_a")
-        .join(uv.selectExpr("vec_id AS id_b", "u AS u_b"), "id_b")
-        .selectExpr("id_a", "id_b", f"round({dot}, 6) AS cos_sim")
-    )
-    w = Window.partitionBy("id_a").orderBy(
-        F.desc("cos_sim"), F.asc("id_b")
-    )
-    knn = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _MKNN_K)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    appear in everyone's neighbor list). The per-cluster exact-kNN stage
+    is _sim08_knn (vectorized, checkpointed); the mutuality filter is a
+    self-join of the tiny top-k edge list on the reversed key pair.
+    Exact round-6 cosine on the shared dd05 unit vectors; ties broken by
+    neighbor id, so the graph is deterministic."""
+    knn = _sim08_knn(spark, sf)
     rev = knn.selectExpr("id_b AS id_a", "id_a AS id_b")
     return (
         knn.join(rev, ["id_a", "id_b"])
