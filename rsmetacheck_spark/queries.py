@@ -1248,30 +1248,97 @@ def _dd05_unit(spark: SparkSession, sf: str) -> DataFrame:
     return _checkpoint(e, "dd05_unit", key=f"dd05_unit:{_sfkey(sf)}")
 
 
+_UNIT_MAT_CACHE: dict[str, tuple] = {}
+
+
+def _load_unit_matrix(path: str):
+    """Worker-side loader for the _dd05_unit checkpoint: (sorted vec_ids,
+    unit matrix). Module-level cache so a reused Python worker loads the
+    ~n*dim*8-byte matrix once per process, not per batch (guide §4.5).
+    On a cluster the scratch checkpoint lives on shared storage — the
+    same place the equi-join shuffle would have read it from."""
+    hit = _UNIT_MAT_CACHE.get(path)
+    if hit is not None:
+        return hit
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    ids = np.asarray(tbl.column("vec_id").to_numpy())
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = np.stack(tbl.column("u").to_pylist())[order].astype(np.float64)
+    _UNIT_MAT_CACHE[path] = (ids, mat)
+    return ids, mat
+
+
+def _dd05_sig_table(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, sig0..sig{T-1}): the 8 per-table hyperplane sign
+    signatures as PACKED INTEGERS (bit i = plane i's sign), computed
+    vectorized in one mapInPandas pass. Bitwise-identical partitioning to
+    the old per-plane SQL expressions: each plane's dot accumulates
+    column-by-column in float64 (the SQL left-fold), and the sign test is
+    the same `>= 0`. Integer signatures make the downstream bucket keys
+    8-byte ints instead of 10-char strings (narrower shuffle, guide §2.3)
+    and bit-flips a plain XOR."""
+    import pandas as pd
+
+    mat = _dd05_unit(spark, sf)
+    planes = [
+        _hyperplanes(n_planes=DD05_PLANES, seed=177 + t)
+        for t in range(DD05_TABLES)
+    ]
+    schema = "vec_id long, " + ", ".join(
+        f"sig{t} long" for t in range(DD05_TABLES)
+    )
+
+    def sigfn(it):
+        import numpy as np
+
+        pl = np.asarray(planes)  # (T, K, dim)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            u = np.stack(pdf["u"].to_numpy()).astype(np.float64, copy=False)
+            n, dim = u.shape
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for t in range(DD05_TABLES):
+                sig = np.zeros(n, dtype=np.int64)
+                for k in range(DD05_PLANES):
+                    acc = np.zeros(n)
+                    for j in range(dim):  # column fold == SQL aggregate
+                        acc += u[:, j] * pl[t, k, j]
+                    sig |= (acc >= 0).astype(np.int64) << k
+                out[f"sig{t}"] = sig
+            yield pd.DataFrame(out)
+
+    return mat.mapInPandas(sigfn, schema)
+
+
 def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table hyperplane LSH:
     vectors are L2-normalized ONCE and checkpointed (cosine = plain dot
     product afterwards — a third of the per-pair flops); bucket assignment
-    is map-only; the candidate self-join is an equi-join on (table_id,
-    bucket) moving (bucket_key, vec_id) pairs only; the dot product is
-    verified exactly on the deduplicated candidates via equi-joins back to
-    the unit vectors. No unblocked theta-join anywhere in the plan. (Label
-    is deliberately NOT a blocking key: in this corpus most >=0.45 pairs
-    are cross-label, so metadata blocking would be semantically wrong.)"""
-    mat = _dd05_unit(spark, sf)
-    # signatures computed ONCE per table, then base/probe keys are cheap
-    # string edits of the K-char signature (no dot-product recompute)
-    sig_exprs = []
-    for tbl in range(DD05_TABLES):
-        b_spark, _ = _bucket_exprs("u", n_planes=DD05_PLANES, seed=177 + tbl)
-        sig_exprs.append(f"{b_spark} AS sig{tbl}")
-    sigs = mat.selectExpr("vec_id", *sig_exprs)
+    is map-only (vectorized, _dd05_sig_table); the candidate self-join is
+    an equi-join on an integer (table_id, bucket) key moving (key, vec_id)
+    pairs only; the dot product is verified exactly on the deduplicated
+    candidates by a vectorized NumPy rescore against the worker-cached
+    unit-vector checkpoint — the candidate rows ship 16 bytes/pair instead
+    of 2*dim doubles (guide §8: decide with small rows). No unblocked
+    theta-join anywhere in the plan. (Label is deliberately NOT a blocking
+    key: in this corpus most >=0.45 pairs are cross-label, so metadata
+    blocking would be semantically wrong.)"""
+    import pandas as pd
+
+    _dd05_unit(spark, sf)  # ensure the checkpoint exists for the rescore
+    unit_path = _CKPT_CACHE[f"dd05_unit:{_sfkey(sf)}"]
+    sigs = _dd05_sig_table(spark, sf)
     base_keys, probe_keys = [], []
     for tbl in range(DD05_TABLES):
-        base_keys.append(f"concat('{tbl}:', sig{tbl})")
-        probe_keys.append(f"concat('{tbl}:', sig{tbl})")
+        base_keys.append(f"{tbl * 256}L + sig{tbl}")
+        probe_keys.append(f"{tbl * 256}L + sig{tbl}")
         probe_keys += [
-            f"concat('{tbl}:', {_flip_bit(f'sig{tbl}', i)})"
+            f"{tbl * 256}L + (sig{tbl} ^ {1 << i}L)"
             for i in range(DD05_PLANES)
         ]
     base = sigs.selectExpr(
@@ -1287,14 +1354,29 @@ def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
-    va = mat.selectExpr("vec_id AS id_a", "u AS u_a")
-    vb = mat.selectExpr("vec_id AS id_b", "u AS u_b")
-    dot = "aggregate(zip_with(u_a, u_b, (x, y) -> x * y), CAST(0 AS double), (acc, x) -> acc + x)"
-    return (
-        cand.join(va, "id_a").join(vb, "id_b")
-        .selectExpr("id_a", "id_b", f"round({dot}, 6) AS cos_sim")
-        .filter(F.col("cos_sim") >= COSINE_PAIR_T)
-    )
+
+    def rescore(it):
+        import numpy as np
+
+        ids, m = _load_unit_matrix(unit_path)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ia = np.searchsorted(ids, pdf["id_a"].to_numpy())
+            ib = np.searchsorted(ids, pdf["id_b"].to_numpy())
+            va, vb = m[ia], m[ib]
+            acc = np.zeros(len(pdf))
+            for j in range(m.shape[1]):  # column fold == SQL aggregate
+                acc += va[:, j] * vb[:, j]
+            cos = _np_round6(acc)
+            keep = cos >= COSINE_PAIR_T
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"].to_numpy()[keep],
+                "id_b": pdf["id_b"].to_numpy()[keep],
+                "cos_sim": cos[keep],
+            })
+
+    return cand.mapInPandas(rescore, "id_a long, id_b long, cos_sim double")
 
 
 def _sql_dd05() -> str:
