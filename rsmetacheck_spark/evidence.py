@@ -850,9 +850,19 @@ def ev09_rule_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exprs = _all_rule_exprs(SPARK)
     net_flags = network_flag_cols()
-    ev = with_net(
-        _spark_ev_df(spark, sf_dir)
-    ).select(
+    # ev09 is the one evidence query that aggregates (shuffles anyway), so
+    # unlike the zero-Exchange ev01-ev08 detectors it can afford one
+    # repartition — without it the full 29-detector regex evaluation runs
+    # at the scan's file-split parallelism (ONE task on a single-row-group
+    # parquet file; ~15 s at sf1.0). At real scale the scan has thousands
+    # of splits and the repartition is a cheap row-count-preserving hash
+    # exchange of (doc_id, text) before the heavy projection.
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ev_base = docs.repartition(par, "doc_id").selectExpr(
+        "doc_id", f"{ev_expr(SPARK)} AS ev"
+    )
+    ev = with_net(ev_base).select(
         *[F.expr(e).alias(r) for r, e in exprs.items()],
         *[c.alias(r) for r, c in net_flags.items()],
     )

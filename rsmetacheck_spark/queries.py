@@ -595,6 +595,10 @@ def _dd02_candidates(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+    # the candidate list is tiny but EXPENSIVE (md5 per shingle + 128 MIN
+    # aggregates + banding self-join); five consumers re-derive it (dd02,
+    # dd12, dd13, dd15, dd17), so checkpoint it like the shingle table
+    cand = _checkpoint(cand, "dd02_cand", key=f"dd02_cand:{_sfkey(sf)}")
     return cand, mat
 
 
@@ -696,7 +700,14 @@ def dd06_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
         key = f"dd06_edges:{_sfkey(sf)}" if tag == "cc_edges" else None
         return _checkpoint(df, f"dd06_{tag}", key=key)
 
-    return largestar_components(pairs, ckpt)
+    # the converged component table is consumed again by dd07 (and by the
+    # bench's second pinned pass); the CC driver loop is multiple actions
+    # per round, so re-deriving it is the expensive part — checkpoint the
+    # final result like the edge table
+    return _checkpoint(
+        largestar_components(pairs, ckpt),
+        "dd06_groups", key=f"dd06_groups:{_sfkey(sf)}",
+    )
 
 
 def _sql_dd06() -> str:
@@ -1073,13 +1084,17 @@ def dd03_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     MinHash path is the operator that resolves such corpora)."""
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
+    par = spark.sparkContext.defaultParallelism
     # materialize the inverted index (doc_id, shingle) ONCE to scratch
     # parquet — it feeds three consumers (frequency guard, self-join,
     # per-doc sizes); a .cache() here would pin it in executor RAM and
     # leak across a bench sweep, and at 100 TB the inverted index is a
-    # scratch table, not a cache
+    # scratch table, not a cache. The input is explicitly repartitioned
+    # (the dd02 pattern): a single small parquet file would otherwise pin
+    # the whole tokenize+shingle pass to 1-2 scan tasks.
     inv0 = _checkpoint(
-        d.selectExpr("doc_id", f"{toks} AS t")
+        d.repartition(par, "doc_id")
+        .selectExpr("doc_id", f"{toks} AS t")
         .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
         .selectExpr("doc_id", "explode(sh) AS s"),
         "dd03_inv", key=f"dd03_inv:{_sfkey(sf)}",
@@ -1088,7 +1103,17 @@ def dd03_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # tiny HOT list and anti-join (broadcasting the kept set would ship
     # nearly the whole vocabulary)
     hot = inv0.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > 100)
-    inv = inv0.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    # EXPLICIT numbered repartition by shingle before the pair-exploding
+    # self-join: the index is small in BYTES (~tens of MB) but each kept
+    # shingle fans out df*(df-1)/2 pair rows (~71M at sf1.0), so AQE's
+    # byte-based partition coalescing would otherwise shrink the join to
+    # 1-2 tasks and serialize the explosion — the guide §2 rule that
+    # partition sizing must follow the work a partition GENERATES, not
+    # its input bytes. A user-numbered repartition is exempt from AQE
+    # coalescing, and both join sides reuse the one exchange.
+    inv = inv0.join(F.broadcast(hot.select("s")), "s", "left_anti").repartition(
+        par, "s"
+    )
     a, b = inv.alias("a"), inv.alias("b")
     overlap = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1123,8 +1148,10 @@ def dd03_drop_stats(spark: SparkSession, sf: str) -> DataFrame:
     index as dd03, so calling both prices one index build."""
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
+    par = spark.sparkContext.defaultParallelism
     inv0 = _checkpoint(
-        d.selectExpr("doc_id", f"{toks} AS t")
+        d.repartition(par, "doc_id")
+        .selectExpr("doc_id", f"{toks} AS t")
         .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
         .selectExpr("doc_id", "explode(sh) AS s"),
         "dd03_inv", key=f"dd03_inv:{_sfkey(sf)}",
@@ -3443,17 +3470,22 @@ def q38_binpack_bfd(spark: SparkSession, sf: str) -> DataFrame:
     cap = _PACK_CAP
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
-    items = d.selectExpr(
+    par = spark.sparkContext.defaultParallelism
+    # repartition BEFORE the tokenize so the size() pass is not pinned to
+    # the scan's file-split count; oversize docs ride through the same
+    # grouped stage (emitted untouched with bin_id = -1) instead of a
+    # second scan + tokenize branch unioned on at the end — one corpus
+    # pass and one exchange where round 5 paid two of each.
+    items = d.repartition(par, "doc_id").selectExpr(
         "doc_id", "source", f"doc_id div {_PACK_SHARD} AS shard",
         f"CAST(size({toks}) AS bigint) AS n_tokens",
     ).filter("n_tokens > 0")
-    oversize = items.filter(F.col("n_tokens") > cap).selectExpr(
-        "doc_id", "source", "shard", "n_tokens",
-        "CAST(-1 AS bigint) AS bin_id", "CAST(-1 AS bigint) AS bin_off",
-    )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
+        big = pdf[pdf["n_tokens"] > cap].copy()
+        big["bin_id"] = pd.Series(-1, index=big.index, dtype="int64")
+        big["bin_off"] = pd.Series(-1, index=big.index, dtype="int64")
+        pdf = pdf[pdf["n_tokens"] <= cap].sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
         ).reset_index(drop=True)
         rem: list[int] = []
@@ -3474,16 +3506,14 @@ def q38_binpack_bfd(spark: SparkSession, sf: str) -> DataFrame:
                 rem[best] -= nt
         pdf["bin_id"] = pd.Series(bin_id, dtype="int64")
         pdf["bin_off"] = pd.Series(bin_off, dtype="int64")
-        return pdf[["doc_id", "source", "shard", "n_tokens", "bin_id", "bin_off"]]
+        cols = ["doc_id", "source", "shard", "n_tokens", "bin_id", "bin_off"]
+        return pd.concat([pdf[cols], big[cols]], ignore_index=True)
 
-    packed = items.filter(F.col("n_tokens") <= cap).groupBy(
-        "source", "shard"
-    ).applyInPandas(
+    return items.groupBy("source", "shard").applyInPandas(
         pack,
         "doc_id long, source string, shard long, n_tokens long, "
         "bin_id long, bin_off long",
     )
-    return packed.unionByName(oversize)
 
 
 def _sql_q38() -> str:
@@ -3571,8 +3601,14 @@ def dd10_span_coverage(spark: SparkSession, sf: str) -> DataFrame:
     mark itself duplicated."""
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
-    starts = (
-        d.selectExpr("doc_id", f"{toks} AS t")
+    par = spark.sparkContext.defaultParallelism
+    # checkpointed: the gram table feeds BOTH the df>=2 shared-gram count
+    # and the hits semi-join — without it the tokenize + per-start md5
+    # pass runs twice; repartition first or the single small parquet file
+    # pins that pass to 1-2 scan tasks (the dd02/dd03 pattern)
+    starts = _checkpoint(
+        d.repartition(par, "doc_id")
+        .selectExpr("doc_id", f"{toks} AS t")
         .filter(f"size(t) >= {_SPAN_W}")
         .selectExpr(
             "doc_id", "size(t) AS n_tokens", "t",
@@ -3581,7 +3617,8 @@ def dd10_span_coverage(spark: SparkSession, sf: str) -> DataFrame:
         .selectExpr(
             "doc_id", "n_tokens", "s",
             f"md5(array_join(slice(t, s, {_SPAN_W}), ' ')) AS g",
-        )
+        ),
+        "dd10_starts", key=f"dd10_starts:{_sfkey(sf)}",
     )
     shared = (
         starts.select("doc_id", "g").distinct()
