@@ -48,6 +48,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _tok_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, c): per-doc token counts, checkpointed once per
+    session — dd12 consumes the counts (weighted Jaccard), dd15 the same
+    column as tf weights, dd13 the key set (distinct tokens). One
+    tokenize+explode+groupBy pass instead of three."""
+    d = _docs_par(spark, sf_dir)
+    toks = _TOKS_SPARK.format(c="text")
+    return _checkpoint(
+        d.selectExpr("doc_id", f"explode({toks}) AS tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c")),
+        "tok_counts", key=f"tok_counts:{_sfkey(sf_dir)}",
+    )
+
+
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a PARALLELISM FLOOR for heavy per-row compute
+    (tokenize/regex/explode): the sf tables are single-row-group parquet
+    files, so a bare scan yields ONE task no matter the core count and
+    every downstream map-side pass serializes. One cheap hash exchange of
+    the raw rows restores corpus-wide parallelism; queries whose plans
+    are asserted shuffle-free (ev01-ev08, q33) deliberately do NOT use
+    this helper. At real scale the scan has thousands of splits and this
+    exchange is the usual pre-UDF repartition, not a bottleneck."""
+    par = spark.sparkContext.defaultParallelism
+    return _t(spark, sf_dir, "documents").repartition(par, "doc_id")
+
+
 _CKPT_CACHE: dict[str, str] = {}
 
 
@@ -275,18 +303,27 @@ FROM events GROUP BY 1, 2
 def _doc_feats(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
+    par = spark.sparkContext.defaultParallelism
     # tokenize ONCE into a column, then derive every feature from it —
     # inlining `toks` into each feature expression re-runs the regex split
-    # per feature (same fusion as q11/dd02)
-    return d.selectExpr(
-        "doc_id", "lang", "source", "text", f"{toks} AS t"
-    ).selectExpr(
-        "doc_id", "lang", "source",
-        "size(t) AS n_tokens",
-        f"round(size(filter(t, x -> x IN ({_STOP_SQL}))) * 1.0"
-        f" / greatest(size(t), 1), 6) AS stop_frac",
-        "round(length(regexp_replace(lower(text), '[^a-z0-9]', '')) * 1.0"
-        " / greatest(size(t), 1), 6) AS mean_word_len",
+    # per feature (same fusion as q11/dd02). Checkpointed: NINE queries
+    # consume this projection, and the tokenize + stopword-membership +
+    # regex pass is the expensive part of each — one scratch table prices
+    # them all (the dd02-signature pattern). Repartition first so the
+    # pass is not pinned to the scan's file-split count (single-row-group
+    # input file = 1 task otherwise).
+    return _checkpoint(
+        d.repartition(par, "doc_id").selectExpr(
+            "doc_id", "lang", "source", "text", f"{toks} AS t"
+        ).selectExpr(
+            "doc_id", "lang", "source",
+            "size(t) AS n_tokens",
+            f"round(size(filter(t, x -> x IN ({_STOP_SQL}))) * 1.0"
+            f" / greatest(size(t), 1), 6) AS stop_frac",
+            "round(length(regexp_replace(lower(text), '[^a-z0-9]', '')) * 1.0"
+            " / greatest(size(t), 1), 6) AS mean_word_len",
+        ),
+        "doc_feats", key=f"doc_feats:{_sfkey(sf)}",
     )
 
 
@@ -402,7 +439,7 @@ def q09_langid_vote(spark: SparkSession, sf: str) -> DataFrame:
     pitfall_utils.py:6-39) — SQL-expressible variant of the pipeline's
     char-trigram model. Tokenizes once into a column, then votes per
     language off the materialized array (not 4 regex re-splits)."""
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     toks = _TOKS_SPARK.format(c="text")
     return (
         d.selectExpr("lang", f"{toks} AS tk")
@@ -441,7 +478,7 @@ FROM f GROUP BY source
 
 
 def q11_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     toks = _TOKS_SPARK.format(c="text")
     # materialize tokens as a column first: inlining `toks` into the
     # transform lambda would re-run the regex split once per n-gram element
@@ -1368,18 +1405,33 @@ def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
             f"{tbl * 256}L + (sig{tbl} ^ {1 << i}L)"
             for i in range(DD05_PLANES)
         ]
+    # EXPLICIT numbered repartition on the join key: the bucket tables
+    # are a few MB, so AQE's byte-based coalescing would run the
+    # pair-exploding join (and the map-side rescore fused after it) on
+    # 2-3 tasks — partition count must follow the ~50M rows the join
+    # GENERATES, not its input bytes (same rationale as dd03). Bucket
+    # occupancy is bounded (max ~235 at sf1.0), so hashing the keys over
+    # the full core count is skew-safe.
+    par = spark.sparkContext.defaultParallelism
     base = sigs.selectExpr(
         "vec_id", f"explode(array({', '.join(base_keys)})) AS bucket_key"
-    )
+    ).repartition(par, "bucket_key")
     probe = sigs.selectExpr(
         "vec_id", f"explode(array({', '.join(probe_keys)})) AS bucket_key"
-    )
+    ).repartition(par, "bucket_key")
     a, b = probe.alias("a"), base.alias("b")
+    # NO pre-verification distinct: multi-probe multiplicity is ~1.1 for
+    # random pairs (per table a pair matches at most once), so a distinct
+    # here would shuffle the full ~50M-row candidate stream to remove
+    # ~10% duplicates. Instead the vectorized rescore runs MAP-SIDE on
+    # the raw join output (the >=t filter kills ~99.97% of rows), and the
+    # dedup happens on the tiny survivor set — the cos_sim of a duplicate
+    # pair is bit-identical, so dropDuplicates over all three columns is
+    # the same set the old distinct-then-verify produced.
     cand = (
         a.join(b, (F.col("a.bucket_key") == F.col("b.bucket_key"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
     )
 
     def rescore(it):
@@ -1403,7 +1455,9 @@ def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
                 "cos_sim": cos[keep],
             })
 
-    return cand.mapInPandas(rescore, "id_a long, id_b long, cos_sim double")
+    return cand.mapInPandas(
+        rescore, "id_a long, id_b long, cos_sim double"
+    ).dropDuplicates(["id_a", "id_b"])
 
 
 def _sql_dd05() -> str:
@@ -1604,6 +1658,23 @@ SELECT qid, CAST(rk AS INTEGER) AS rk, nid, cos_sim FROM (
 """
 
 
+def _media_table(spark: SparkSession, sf: str) -> DataFrame:
+    """The synthesized media table, checkpointed: all four mm queries
+    consume it (mm01 features, mm02 video frames, mm03 resize, mm04 image
+    patches), and the md5-chain payload synthesis is ~66 Python hashlib
+    calls per row — re-deriving it four times at the scan's 1-file
+    parallelism dominated every mm row. Repartition first so the synthesis
+    runs corpus-wide parallel; the per-row payload is a pure function of
+    doc_id, so partitioning cannot change the rows."""
+    from .operators.multimodal import synth_media_from_docs
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _t(spark, sf, "documents").select("doc_id").repartition(par, "doc_id")
+    return _checkpoint(
+        synth_media_from_docs(docs), "media", key=f"media:{_sfkey(sf)}"
+    )
+
+
 def mm01_media_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal decode plumbing, ORACLE-CHECKED: media rows are derived
     from the documents table with content-defined md5-chain payloads
@@ -1612,10 +1683,9 @@ def mm01_media_features(spark: SparkSession, sf: str) -> DataFrame:
     payload hex in SQL and recomputes every feature (byte count, sha256
     of the hex text, exact byte sum, frame count) — so the binary decode
     path itself is correctness-gated, not just row-counted."""
-    from .operators.multimodal import extract_features, synth_media_from_docs
+    from .operators.multimodal import extract_features
 
-    docs = _t(spark, sf, "documents")
-    feats = extract_features(synth_media_from_docs(docs))
+    feats = extract_features(_media_table(spark, sf))
     return feats.select(
         "media_id", "kind", "n_bytes", "sha256", "sum_bytes", "frame_count"
     )
@@ -1662,10 +1732,9 @@ def mm02_frame_samples(spark: SparkSession, sf: str) -> DataFrame:
     window features. The DuckDB oracle rebuilds the payload hex chain and
     recomputes every frame's offset, byte sum, and md5 — the fan-out
     arithmetic and window content are correctness-gated, not counted."""
-    from .operators.multimodal import sample_frames, synth_media_from_docs
+    from .operators.multimodal import sample_frames
 
-    docs = _t(spark, sf, "documents")
-    media = synth_media_from_docs(docs).filter("kind = 'video'")
+    media = _media_table(spark, sf).filter("kind = 'video'")
     return sample_frames(media).select(
         "media_id", "frame_idx", "start", "n", "sum_bytes", "frame_md5"
     )
@@ -1724,10 +1793,9 @@ def mm03_resize(spark: SparkSession, sf: str) -> DataFrame:
     the DuckDB oracle rebuilds the OUTPUT bytes character-exactly from
     the payload hex chain — the downscale arithmetic and the decimated
     content are both gated."""
-    from .operators.multimodal import resize_media, synth_media_from_docs
+    from .operators.multimodal import resize_media
 
-    docs = _t(spark, sf, "documents")
-    return resize_media(synth_media_from_docs(docs)).select(
+    return resize_media(_media_table(spark, sf)).select(
         "media_id", "kind", "out_w", "out_h", "out_bytes", "resized_md5"
     )
 
@@ -2137,7 +2205,7 @@ def q23_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
     df is a second partial-aggregated groupBy; N joins as a broadcast
     1-row; per-source top-k is a window over the small (source, term)
     aggregate."""
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     toks = _TOKS_SPARK.format(c="text")
     tf = (
         d.selectExpr("doc_id", "source", f"explode({toks}) AS term")
@@ -2187,7 +2255,7 @@ def q24_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
     — the corpus-statistics shape (n-gram LM / tokenizer-vocab precursor).
     Unigram and bigram counts are two partial-aggregated groupBys; the
     bigram->unigram joins are equi-joins on the word."""
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     toks = _TOKS_SPARK.format(c="text")
     t = d.selectExpr(f"{toks} AS t").filter(F.expr("size(t) >= 2"))
     big = (
@@ -2251,7 +2319,7 @@ def q25_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     (integer-scaled, (cum*1e6) div total) — the vocab-size-vs-coverage
     curve every BPE/tokenizer training run starts from. One explode ->
     partial-aggregated count, then a 30-row windowed cumsum."""
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     toks = _TOKS_SPARK.format(c="text")
     uni = (
         d.selectExpr(f"explode({toks}) AS w")
@@ -2597,7 +2665,7 @@ def q34_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     budgeted mixture config needs (whitespace counts under-estimate BPE
     cost by the ratio reported here). Map-only scan + one combined
     groupBy; the regex runs inside codegen on both engines."""
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     toks = _TOKS_SPARK.format(c="text")
     return (
         d.selectExpr(
@@ -3380,7 +3448,7 @@ def q37_bigram_coverage(spark: SparkSession, sf: str) -> DataFrame:
     join falls back to a shuffled hash join on bg. Per-doc re-agg
     combines map-side (explode preserves doc locality). Top 50
     worst-covered docs returned with a total order."""
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     toks = _TOKS_SPARK.format(c="text")
     grams = (
         d.selectExpr("doc_id", "doc_id % 2 = 0 AS is_train",
@@ -3471,13 +3539,16 @@ def q38_binpack_bfd(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
     par = spark.sparkContext.defaultParallelism
-    # repartition BEFORE the tokenize so the size() pass is not pinned to
-    # the scan's file-split count; oversize docs ride through the same
+    # repartition on the GROUP KEY before the tokenize: the size() pass is
+    # then not pinned to the scan's file-split count, and the grouped-map
+    # stage reuses the very same exchange (still exactly ONE hash
+    # exchange, plan-asserted); oversize docs ride through the same
     # grouped stage (emitted untouched with bin_id = -1) instead of a
-    # second scan + tokenize branch unioned on at the end — one corpus
-    # pass and one exchange where round 5 paid two of each.
-    items = d.repartition(par, "doc_id").selectExpr(
-        "doc_id", "source", f"doc_id div {_PACK_SHARD} AS shard",
+    # second scan + tokenize branch unioned on at the end.
+    items = d.selectExpr(
+        "doc_id", "source", f"doc_id div {_PACK_SHARD} AS shard", "text"
+    ).repartition(par, "source", "shard").selectExpr(
+        "doc_id", "source", "shard",
         f"CAST(size({toks}) AS bigint) AS n_tokens",
     ).filter("n_tokens > 0")
 
@@ -3935,13 +4006,7 @@ def dd12_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     all-pairs; the shingle/signature checkpoint is shared, so running
     dd02 and dd12 together prices one index build)."""
     cand, _mat = _dd02_candidates(spark, sf)
-    d = _t(spark, sf, "documents")
-    toks = _TOKS_SPARK.format(c="text")
-    tc = (
-        d.selectExpr("doc_id", f"explode({toks}) AS tok")
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
-    )
+    tc = _tok_counts(spark, sf)
     tot = tc.groupBy("doc_id").agg(F.sum("c").alias("tot"))
     im = (
         cand.join(tc.selectExpr("doc_id AS id_a", "tok", "c AS c_a"), "id_a")
@@ -4042,7 +4107,7 @@ def q40_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
     (split + two single-level array aggregates, whole-stage codegen);
     the per-source reduce pre-combines map-side, so the shuffle carries
     one partial row per (task, source) regardless of corpus size."""
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     sents = "filter(transform(split(text, '[.!?]+'), s -> trim(s)), s -> s != '')"
     per_doc = d.selectExpr(
         "source",
@@ -4094,11 +4159,9 @@ def dd13_containment(spark: SparkSession, sf: str) -> DataFrame:
     intersection is two keyed equi-joins on (doc_id, token) with
     map-side combine, and per-doc distinct-token counts join back by id."""
     cand, _mat = _dd02_candidates(spark, sf)
-    d = _t(spark, sf, "documents")
-    toks = _TOKS_SPARK.format(c="text")
-    dt = (
-        d.selectExpr("doc_id", f"explode(array_distinct({toks})) AS tok")
-    )
+    # distinct token sets = the key set of the shared per-doc token-count
+    # checkpoint (one tokenize pass serves dd12/dd13/dd15)
+    dt = _tok_counts(spark, sf).select("doc_id", "tok")
     n = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(dt.selectExpr("doc_id AS id_a", "tok"), "id_a")
@@ -4158,7 +4221,7 @@ def q41_bpe_merge_pairs(spark: SparkSession, sf: str) -> DataFrame:
     then pair extraction is a map-only explode over the vocab and the
     pair counts pre-combine map-side. Top candidates under a total order
     (weight desc, pair asc) so the LIMIT is deterministic."""
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     toks = _TOKS_SPARK.format(c="text")
     wf = (
         d.selectExpr(f"explode({toks}) AS w")
@@ -4496,7 +4559,7 @@ def q44_stopword_df(spark: SparkSession, sf: str) -> DataFrame:
     hand-curated one per language. Distinct-per-doc explode feeds a
     map-side-combined df count (vocabulary-sized, not token-stream-
     sized); the corpus total rides in as a broadcast scalar."""
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     toks = _TOKS_SPARK.format(c="text")
     df_t = (
         d.selectExpr("doc_id", f"explode(array_distinct({toks})) AS tok")
@@ -4640,11 +4703,8 @@ def dd15_tfidf_pairs(spark: SparkSession, sf: str) -> DataFrame:
     keyed equi-joins with map-side combine, never all-pairs."""
     cand, _mat = _dd02_candidates(spark, sf)
     d = _t(spark, sf, "documents")
-    toks = _TOKS_SPARK.format(c="text")
-    tf = (
-        d.selectExpr("doc_id", f"explode({toks}) AS term")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    tf = _tok_counts(spark, sf).selectExpr(
+        "doc_id", "tok AS term", "c AS tf"
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.select(F.count("*").alias("n_docs"))
@@ -5083,7 +5143,7 @@ def q51_bpe_apply_merge(spark: SparkSession, sf: str) -> DataFrame:
     growth. Reference analog: the reference tokenizes per-document in
     Python (somef utils); this is the trainer-side primitive a data
     pipeline needs instead."""
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     toks = _TOKS_SPARK.format(c="text")
     wf = (
         d.selectExpr(f"explode({toks}) AS w")
@@ -5342,10 +5402,9 @@ def mm04_patch_grid(spark: SparkSession, sf: str) -> DataFrame:
     offset math and tile CONTENT are correctness-gated, not counted.
     This is the tokenizer front-end shape for any vision model: swap the
     byte gather for decoded pixels and the plan is unchanged."""
-    from .operators.multimodal import patch_grid, synth_media_from_docs
+    from .operators.multimodal import patch_grid
 
-    docs = _t(spark, sf, "documents")
-    media = synth_media_from_docs(docs).filter("kind = 'image'")
+    media = _media_table(spark, sf).filter("kind = 'image'")
     return patch_grid(media).select(
         "media_id", "gx", "gy", "n", "sum_bytes", "patch_md5"
     )
@@ -5474,7 +5533,7 @@ def q55_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     stream never shuffles), and the per-doc reduce partial-aggregates
     map-side. Upgrading to n-gram context = the same plan with an
     n-gram key."""
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     toks = _TOKS_SPARK.format(c="text")
     tk = d.selectExpr("doc_id", f"explode({toks}) AS tok")
     freq = tk.groupBy("tok").agg(F.count("*").alias("c"))
@@ -5530,7 +5589,7 @@ def q56_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     table outgrows broadcast range, so unlike q55 the scoring join is
     left to AQE (shuffle hash join on the compound key), which is the
     honest plan for an n-gram LM at scale."""
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     toks = _TOKS_SPARK.format(c="text")
     tt = d.selectExpr("doc_id", f"{toks} AS t")
     bg = (
@@ -5907,7 +5966,7 @@ def q61_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     doc-keyed joins (dup5 LEFT — most docs have no duplicated 5-gram).
     Reference analog: the reference has no corpus-quality stage; this is
     the Gopher rule the north-star pipeline needs."""
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     toks = _TOKS_SPARK.format(c="text")
     base = (
         d.selectExpr("doc_id", f"{toks} AS t")
@@ -6075,7 +6134,7 @@ def q63_bpe_train3(spark: SparkSession, sf: str) -> DataFrame:
     map-only rewrite — K merges cost K small shuffles with no growth.
     Reference analog: none (the reference tokenizes per-doc in Python);
     this is the trainer-side primitive of the north-star pipeline."""
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     toks = _TOKS_SPARK.format(c="text")
     cur = (
         d.selectExpr(f"explode({toks}) AS w")
