@@ -1336,24 +1336,28 @@ def _load_unit_matrix(path: str):
     return ids, mat
 
 
-def _dd05_sig_table(spark: SparkSession, sf: str) -> DataFrame:
-    """(vec_id, sig0..sig{T-1}): the 8 per-table hyperplane sign
-    signatures as PACKED INTEGERS (bit i = plane i's sign), computed
-    vectorized in one mapInPandas pass. Bitwise-identical partitioning to
-    the old per-plane SQL expressions: each plane's dot accumulates
-    column-by-column in float64 (the SQL left-fold), and the sign test is
-    the same `>= 0`. Integer signatures make the downstream bucket keys
-    8-byte ints instead of 10-char strings (narrower shuffle, guide §2.3)
-    and bit-flips a plain XOR."""
+def _sig_int_table(
+    spark: SparkSession, sf: str,
+    n_tables: int, n_planes: int, seed0: int,
+) -> DataFrame:
+    """(vec_id, sig0..sig{T-1}): per-table hyperplane sign signatures as
+    PACKED INTEGERS (bit i = plane i's sign), computed vectorized in one
+    mapInPandas pass over the shared unit-vector checkpoint.
+    Bitwise-identical partitioning to the per-plane SQL expressions: each
+    plane's dot accumulates column-by-column in float64 (the SQL
+    left-fold), and the sign test is the same `>= 0`. Integer signatures
+    make the downstream bucket keys 8-byte ints instead of strings
+    (narrower shuffle, guide §2.3) and bit-flips a plain XOR. Shared by
+    dd05 (seed 177) and sim04 (seed 377)."""
     import pandas as pd
 
     mat = _dd05_unit(spark, sf)
     planes = [
-        _hyperplanes(n_planes=DD05_PLANES, seed=177 + t)
-        for t in range(DD05_TABLES)
+        _hyperplanes(n_planes=n_planes, seed=seed0 + t)
+        for t in range(n_tables)
     ]
     schema = "vec_id long, " + ", ".join(
-        f"sig{t} long" for t in range(DD05_TABLES)
+        f"sig{t} long" for t in range(n_tables)
     )
 
     def sigfn(it):
@@ -1366,9 +1370,9 @@ def _dd05_sig_table(spark: SparkSession, sf: str) -> DataFrame:
             u = np.stack(pdf["u"].to_numpy()).astype(np.float64, copy=False)
             n, dim = u.shape
             out = {"vec_id": pdf["vec_id"].to_numpy()}
-            for t in range(DD05_TABLES):
+            for t in range(n_tables):
                 sig = np.zeros(n, dtype=np.int64)
-                for k in range(DD05_PLANES):
+                for k in range(n_planes):
                     acc = np.zeros(n)
                     for j in range(dim):  # column fold == SQL aggregate
                         acc += u[:, j] * pl[t, k, j]
@@ -1377,6 +1381,10 @@ def _dd05_sig_table(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return mat.mapInPandas(sigfn, schema)
+
+
+def _dd05_sig_table(spark: SparkSession, sf: str) -> DataFrame:
+    return _sig_int_table(spark, sf, DD05_TABLES, DD05_PLANES, 177)
 
 
 def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1599,17 +1607,19 @@ def sim04_batch_knn(spark: SparkSession, sf: str) -> DataFrame:
     bucket_key -> distinct (query, candidate) -> exact dot product ->
     per-query top-k via window rank. Shuffles move (bucket_key, vec_id)
     pairs and k rows per query — never a query x corpus product."""
-    norm = "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
-    e = _t(spark, sf, "embeddings").selectExpr(
-        "vec_id", "transform(embedding, x -> CAST(x AS double)) AS v"
-    ).selectExpr("vec_id", f"transform(v, x -> x / {norm}) AS u")
-    mat = _checkpoint(e, "dd05_unit", key=f"dd05_unit:{_sfkey(sf)}")
-    tbl_exprs = []
-    for tbl in range(SIM04_TABLES):
-        b_spark, _ = _bucket_exprs("u", n_planes=SIM04_PLANES, seed=377 + tbl)
-        tbl_exprs.append(f"concat('{tbl}:', {b_spark})")
-    bkts = mat.selectExpr(
-        "vec_id", f"explode(array({', '.join(tbl_exprs)})) AS bucket_key"
+    mat = _dd05_unit(spark, sf)
+    # vectorized integer signatures (shared _sig_int_table machinery):
+    # the 16 interpreted per-plane dot products per vector were the
+    # dominant cost of this query; candidate-set equality only needs a
+    # bijection of the bucket key, so 'tbl:bits' strings become
+    # tbl*2^planes + bits ints
+    sigs = _sig_int_table(spark, sf, SIM04_TABLES, SIM04_PLANES, 377)
+    key_exprs = [
+        f"{tbl * (1 << SIM04_PLANES)}L + sig{tbl}"
+        for tbl in range(SIM04_TABLES)
+    ]
+    bkts = sigs.selectExpr(
+        "vec_id", f"explode(array({', '.join(key_exprs)})) AS bucket_key"
     )
     qb = bkts.filter(F.col("vec_id") < SIM04_NQ)
     cand = (
@@ -3921,7 +3931,7 @@ def hh01_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     bucket table is a second bounded groupBy over ({D} x count-rows)
     melted positions; the estimate join broadcasts the tiny sketch. All
     integer arithmetic, so the cross-engine gate is exact."""
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     toks = _TOKS_SPARK.format(c="text")
     tc = (
         d.selectExpr(f"{toks} AS t")
@@ -6410,8 +6420,9 @@ def _dd16_sets(
     counts (self-join keyed on the shingle: a shingle in S sources
     yields ≤ S²/2 pair rows, bounded by the SOURCE count, never
     doc×doc)."""
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     toks = _TOKS_SPARK.format(c="text")
+    par = spark.sparkContext.defaultParallelism
     ss = (
         d.selectExpr("source", f"{toks} AS t")
         .selectExpr("source", f"explode({_SHINGLES_SPARK.format(t='t')}) AS sh")
@@ -6419,9 +6430,13 @@ def _dd16_sets(
     )
     ss = _checkpoint(ss, "dd16_ss", key=f"dd16_ss:{_sfkey(sf)}")  # 3 consumers
     sizes = ss.groupBy("source").agg(F.count("*").alias("n_sh"))
+    # explicit numbered repartition: the (source, shingle) table is small
+    # in bytes but the shingle self-join fans out up to |sources|^2/2 rows
+    # per shingle — same AQE-coalescing hazard as dd03's index join
+    ssr = ss.repartition(par, "sh")
     inter = (
-        ss.selectExpr("source AS src_a", "sh")
-        .join(ss.selectExpr("source AS src_b", "sh"), "sh")
+        ssr.selectExpr("source AS src_a", "sh")
+        .join(ssr.selectExpr("source AS src_b", "sh"), "sh")
         .filter("src_a < src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("n_inter"))

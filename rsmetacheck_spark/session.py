@@ -77,6 +77,15 @@ def get_spark(
         # task at 50k; drop this if executor memory is under ~2 GB/core.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.files.maxPartitionBytes", "64m")
+        # Parallelism FLOOR on file scans, derived from the core count
+        # (never a constant): multi-row-group files (e.g. lineitem) split
+        # to at least this many byte-range tasks instead of
+        # size/maxPartitionBytes, so TPC-H-shaped scans use the whole
+        # machine at bench scale. At production scale scans have far more
+        # splits than cores and the floor is a no-op. (Single-row-group
+        # files still yield one non-empty task — those paths carry their
+        # own explicit repartitions, see queries._docs_par.)
+        .config("spark.sql.files.minPartitionNum", str(cores * 2))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -224,7 +224,17 @@ def st05_stream_cms(spark: SparkSession, sf: str) -> DataFrame:
     point-query join hh01 demonstrates."""
     docs_path = os.path.join(sf, "documents.parquet")
     schema = spark.read.parquet(docs_path).schema
-    stream = spark.readStream.schema(schema).parquet(_as_stream_dir(docs_path))
+    # stateless repartition straight off the source: the tokenize + bigram
+    # explode + md5 melt is the expensive part of each micro-batch and a
+    # single-file parquet source yields one input partition — the numbered
+    # repartition parallelizes the melt while the bounded sketch state
+    # keeps the harness's 8-partition clamp (results are partition-count
+    # invariant, enforced by the oracle gate)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_as_stream_dir(docs_path))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
     rp = ", ".join(
         f"struct(CAST({r} AS INT) AS r,"
