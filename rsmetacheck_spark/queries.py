@@ -573,6 +573,26 @@ _SHINGLES_DUCK = (
 )
 
 
+def _shingle_mat(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, sh): per-doc DISTINCT 3-token shingle arrays,
+    checkpointed — the base table of the whole shingle family (dd02
+    signatures + Jaccard verify, dd03's inverted index is this exploded,
+    dd16/dd17's per-source sets re-key it by source).
+
+    Stays in the JVM: a mapInPandas variant was measured SLOWER (~2x) —
+    the Arrow round-trip materializes every token and shingle as a
+    Python string object, which costs more than the interpreted zip_with
+    lambdas it replaced. The win here is the sharing, not the builder."""
+    d = _docs_par(spark, sf)
+    toks = _TOKS_SPARK.format(c="text")
+    return _checkpoint(
+        d.selectExpr("doc_id", f"{toks} AS t")
+        .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
+        .filter(F.expr("size(sh) > 0")),  # empty docs have no near-dup notion
+        "dd02_sh", key=f"dd02_sh:{_sfkey(sf)}",
+    )
+
+
 def _dd02_candidates(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     """The shared MinHash+LSH candidate stage: (cand, mat) where `cand`
     is the distinct (id_a < id_b) band-bucket candidate pairs and `mat`
@@ -592,13 +612,7 @@ def _dd02_candidates(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame
     d = _t(spark, sf, "documents")
     toks = _TOKS_SPARK.format(c="text")
     par = spark.sparkContext.defaultParallelism
-    sh_df = (
-        d.repartition(par, "doc_id")
-        .selectExpr("doc_id", f"{toks} AS t")
-        .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
-        .filter(F.expr("size(sh) > 0"))  # empty docs have no near-dup notion
-    )
-    mat = _checkpoint(sh_df, "dd02_sh", key=f"dd02_sh:{_sfkey(sf)}")  # one pass; 3 consumers below
+    mat = _shingle_mat(spark, sf)  # one checkpointed pass; 3 consumers below
     hvr = mat.selectExpr("doc_id", "explode(sh) AS s").selectExpr(
         "doc_id",
         "CAST(conv(substr(md5(s), 1, 8), 16, 10) AS bigint) % 2147483647 AS h",
@@ -1119,23 +1133,13 @@ def dd03_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     reports the same counter plus how many docs it touched, so the
     zero-result mode is observable rather than silent (dd02's banded
     MinHash path is the operator that resolves such corpora)."""
-    d = _t(spark, sf, "documents")
-    toks = _TOKS_SPARK.format(c="text")
     par = spark.sparkContext.defaultParallelism
-    # materialize the inverted index (doc_id, shingle) ONCE to scratch
-    # parquet — it feeds three consumers (frequency guard, self-join,
-    # per-doc sizes); a .cache() here would pin it in executor RAM and
-    # leak across a bench sweep, and at 100 TB the inverted index is a
-    # scratch table, not a cache. The input is explicitly repartitioned
-    # (the dd02 pattern): a single small parquet file would otherwise pin
-    # the whole tokenize+shingle pass to 1-2 scan tasks.
-    inv0 = _checkpoint(
-        d.repartition(par, "doc_id")
-        .selectExpr("doc_id", f"{toks} AS t")
-        .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
-        .selectExpr("doc_id", "explode(sh) AS s"),
-        "dd03_inv", key=f"dd03_inv:{_sfkey(sf)}",
-    )
+    # the inverted index (doc_id, shingle) is exactly the shared shingle
+    # table exploded — one checkpointed build (_shingle_mat) serves dd02,
+    # dd03 and dd16/dd17 instead of three separate tokenize+shingle
+    # passes; at 100 TB the inverted index is a scratch table, not a
+    # .cache()
+    inv0 = _shingle_mat(spark, sf).selectExpr("doc_id", "explode(sh) AS s")
     # drop stopword-shingles with document frequency > 100: broadcast the
     # tiny HOT list and anti-join (broadcasting the kept set would ship
     # nearly the whole vocabulary)
@@ -1183,16 +1187,7 @@ def dd03_drop_stats(spark: SparkSession, sf: str) -> DataFrame:
     distinct dropped shingles, the index rows they accounted for, and how
     many documents lost at least one shingle. Same checkpointed inverted
     index as dd03, so calling both prices one index build."""
-    d = _t(spark, sf, "documents")
-    toks = _TOKS_SPARK.format(c="text")
-    par = spark.sparkContext.defaultParallelism
-    inv0 = _checkpoint(
-        d.repartition(par, "doc_id")
-        .selectExpr("doc_id", f"{toks} AS t")
-        .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
-        .selectExpr("doc_id", "explode(sh) AS s"),
-        "dd03_inv", key=f"dd03_inv:{_sfkey(sf)}",
-    )
+    inv0 = _shingle_mat(spark, sf).selectExpr("doc_id", "explode(sh) AS s")
     hot = inv0.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > 100)
     dropped = inv0.join(F.broadcast(hot.select("s")), "s", "left_semi")
     return dropped.agg(
@@ -6420,12 +6415,16 @@ def _dd16_sets(
     counts (self-join keyed on the shingle: a shingle in S sources
     yields ≤ S²/2 pair rows, bounded by the SOURCE count, never
     doc×doc)."""
-    d = _docs_par(spark, sf)
-    toks = _TOKS_SPARK.format(c="text")
     par = spark.sparkContext.defaultParallelism
+    # per-source sets = the shared per-doc shingle table re-keyed by
+    # source (broadcast doc->source map) — no second tokenize+shingle
+    # pass; per-doc arrays are already distinct, the (source, sh)
+    # distinct collapses across docs exactly as before
+    src_map = _t(spark, sf, "documents").select("doc_id", "source")
     ss = (
-        d.selectExpr("source", f"{toks} AS t")
-        .selectExpr("source", f"explode({_SHINGLES_SPARK.format(t='t')}) AS sh")
+        _shingle_mat(spark, sf)
+        .join(F.broadcast(src_map), "doc_id")
+        .selectExpr("source", "explode(sh) AS sh")
         .distinct()
     )
     ss = _checkpoint(ss, "dd16_ss", key=f"dd16_ss:{_sfkey(sf)}")  # 3 consumers
