@@ -1301,7 +1301,12 @@ def _dd05_unit(spark: SparkSession, sf: str) -> DataFrame:
     checkpointed — cosine = plain dot product downstream. Shared by
     dd05 (LSH-bucketed pairs) and dd14 (cluster-scoped SemDeDup)."""
     norm = "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS double), (acc, x) -> acc + x))"
-    e = _t(spark, sf, "embeddings").selectExpr(
+    par = spark.sparkContext.defaultParallelism
+    # repartition before normalizing: the single-row-group embeddings
+    # file scans as ONE task, and every consumer of this checkpoint
+    # (dd05 signatures, sim08 cluster blocks, sim04) inherits its file
+    # count as map parallelism
+    e = _t(spark, sf, "embeddings").repartition(par, "vec_id").selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS double)) AS v"
     ).selectExpr("vec_id", f"transform(v, x -> x / {norm}) AS u")
     return _checkpoint(e, "dd05_unit", key=f"dd05_unit:{_sfkey(sf)}")
@@ -1326,9 +1331,40 @@ def _load_unit_matrix(path: str):
     ids = np.asarray(tbl.column("vec_id").to_numpy())
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
-    mat = np.stack(tbl.column("u").to_pylist())[order].astype(np.float64)
+    col = tbl.column("u").combine_chunks()
+    flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False))
+    lens = np.diff(np.asarray(col.offsets.to_numpy()))
+    if len(lens) and (lens == lens[0]).all():
+        # fixed-dim vectors: reshape the Arrow values buffer directly —
+        # to_pylist() materialized ~n*dim Python floats (seconds per
+        # worker at sf1.0)
+        mat = flat.reshape(len(lens), int(lens[0]))[order].astype(np.float64)
+    else:
+        mat = np.stack(col.to_pylist())[order].astype(np.float64)
     _UNIT_MAT_CACHE[path] = (ids, mat)
     return ids, mat
+
+
+_ASG_CACHE: dict[str, object] = {}
+
+
+def _load_assignment(path: str, ids):
+    """Worker-side loader for the sim08 assignment checkpoint: the cid
+    array aligned with the unit matrix's sorted vec_id order. Cached per
+    process like the unit matrix."""
+    hit = _ASG_CACHE.get(path)
+    if hit is not None:
+        return hit
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    v = np.asarray(tbl.column("vec_id").to_numpy())
+    c = np.asarray(tbl.column("cid").to_numpy())
+    order = np.argsort(v, kind="stable")
+    aligned = c[order][np.searchsorted(v[order], ids)]
+    _ASG_CACHE[path] = aligned
+    return aligned
 
 
 def _sig_int_table(
@@ -1408,58 +1444,74 @@ def dd05_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
             f"{tbl * 256}L + (sig{tbl} ^ {1 << i}L)"
             for i in range(DD05_PLANES)
         ]
-    # EXPLICIT numbered repartition on the join key: the bucket tables
-    # are a few MB, so AQE's byte-based coalescing would run the
-    # pair-exploding join (and the map-side rescore fused after it) on
-    # 2-3 tasks — partition count must follow the ~50M rows the join
-    # GENERATES, not its input bytes (same rationale as dd03). Bucket
-    # occupancy is bounded (max ~235 at sf1.0), so hashing the keys over
-    # the full core count is skew-safe.
+    # The candidate "join" never materializes pair ROWS in the JVM
+    # (guide §8: decide with small rows): per bucket key, the probe and
+    # base member lists are collected (1.6M id rows total — the ~50M
+    # candidate pairs with multiplicity ~1.1 would otherwise be
+    # generated as JVM join rows and shipped through Arrow), and the
+    # pair enumeration + exact rescore happen vectorized inside one
+    # mapInPandas over the bucket rows. The >=t filter kills ~99.97% of
+    # pairs inside NumPy, so only survivors surface; a duplicate pair's
+    # cos_sim is bit-identical, so the final dropDuplicates reproduces
+    # the old distinct-then-verify set exactly. The bucket rows are
+    # explicitly repartitioned: their bytes are tiny but their work is
+    # |probe|x|base| per row — AQE's byte-based coalescing would
+    # serialize the scoring (the dd03 rationale).
     par = spark.sparkContext.defaultParallelism
     base = sigs.selectExpr(
         "vec_id", f"explode(array({', '.join(base_keys)})) AS bucket_key"
-    ).repartition(par, "bucket_key")
+    )
     probe = sigs.selectExpr(
         "vec_id", f"explode(array({', '.join(probe_keys)})) AS bucket_key"
-    ).repartition(par, "bucket_key")
-    a, b = probe.alias("a"), base.alias("b")
-    # NO pre-verification distinct: multi-probe multiplicity is ~1.1 for
-    # random pairs (per table a pair matches at most once), so a distinct
-    # here would shuffle the full ~50M-row candidate stream to remove
-    # ~10% duplicates. Instead the vectorized rescore runs MAP-SIDE on
-    # the raw join output (the >=t filter kills ~99.97% of rows), and the
-    # dedup happens on the tiny survivor set — the cos_sim of a duplicate
-    # pair is bit-identical, so dropDuplicates over all three columns is
-    # the same set the old distinct-then-verify produced.
-    cand = (
-        a.join(b, (F.col("a.bucket_key") == F.col("b.bucket_key"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
     )
+    bm = base.groupBy("bucket_key").agg(F.collect_list("vec_id").alias("bids"))
+    pm = probe.groupBy("bucket_key").agg(F.collect_list("vec_id").alias("pids"))
+    # ROUND-ROBIN repartition (no key): a hash repartition on bucket_key
+    # is optimizer-removed as redundant (the broadcast join preserves
+    # pm's aggregation partitioning on the same key), which lets AQE
+    # coalesce the agg exchange to a handful of tasks and serialize the
+    # scoring; round-robin survives, and it also spreads the ~2k heavy
+    # bucket rows evenly regardless of key hashing
+    buckets = pm.join(bm, "bucket_key").select("pids", "bids").repartition(par)
 
-    def rescore(it):
+    def score_buckets(it):
         import numpy as np
 
         ids, m = _load_unit_matrix(unit_path)
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            ia = np.searchsorted(ids, pdf["id_a"].to_numpy())
-            ib = np.searchsorted(ids, pdf["id_b"].to_numpy())
-            va, vb = m[ia], m[ib]
-            acc = np.zeros(len(pdf))
-            for j in range(m.shape[1]):  # column fold == SQL aggregate
-                acc += va[:, j] * vb[:, j]
-            cos = _np_round6(acc)
-            keep = cos >= COSINE_PAIR_T
-            yield pd.DataFrame({
-                "id_a": pdf["id_a"].to_numpy()[keep],
-                "id_b": pdf["id_b"].to_numpy()[keep],
-                "cos_sim": cos[keep],
-            })
+        dim = m.shape[1]
 
-    return cand.mapInPandas(
-        rescore, "id_a long, id_b long, cos_sim double"
+        for pdf in it:
+            frames = []
+            for pids, bids in zip(pdf["pids"], pdf["bids"]):
+                pa = np.searchsorted(ids, np.sort(np.asarray(pids, dtype=np.int64)))
+                ba = np.searchsorted(ids, np.sort(np.asarray(bids, dtype=np.int64)))
+                up, ub = m[pa], m[ba]
+                # cross-gram by column-ordered accumulation (== the SQL
+                # left-fold); the |p|x|b| buffer is a few hundred KB, so
+                # the 64 passes stay cache-resident — gathering per-pair
+                # row matrices instead was measured 10x slower (DRAM-
+                # bound on multi-GB temporaries)
+                g = np.zeros((len(pa), len(ba)))
+                t = np.empty_like(g)
+                for j in range(dim):
+                    np.multiply(up[:, j, None], ub[None, :, j], out=t)
+                    g += t
+                cos = _np_round6(g)
+                # ids is sorted, so index order == id order: pa < ba is
+                # exactly the old join's a.vec_id < b.vec_id
+                keep = (cos >= COSINE_PAIR_T) & (pa[:, None] < ba[None, :])
+                pi, bi = np.nonzero(keep)
+                if len(pi):
+                    frames.append(pd.DataFrame({
+                        "id_a": ids[pa[pi]],
+                        "id_b": ids[ba[bi]],
+                        "cos_sim": cos[pi, bi],
+                    }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return buckets.mapInPandas(
+        score_buckets, "id_a long, id_b long, cos_sim double"
     ).dropDuplicates(["id_a", "id_b"])
 
 
@@ -3115,26 +3167,58 @@ def _km01_assigned(spark: SparkSession, sf: str) -> DataFrame:
     centroids (k smallest vec_ids) COLLECTED and baked as literals, so
     assignment is a map-only projection (see km01_kmeans_iteration for
     the full scale rationale). Shared by km01 and dd14."""
+    import pandas as pd
+
     qexpr = (
         f"transform(embedding, x -> CAST(floor(CAST(x AS double) * {_KM_SCALE}"
         " + 0.5) AS bigint))"
     )
-    e = _t(spark, sf, "embeddings").selectExpr("vec_id", f"{qexpr} AS qv")
+    e_raw = _t(spark, sf, "embeddings")
     seeds = (
-        e.orderBy("vec_id").limit(_KM_K).collect()
+        # quantize only the k seed rows (limit BEFORE the transform —
+        # evaluating qexpr across the corpus just to take 8 rows cost a
+        # full interpreted pass)
+        e_raw.orderBy("vec_id").limit(_KM_K)
+        .selectExpr("vec_id", f"{qexpr} AS qv").collect()
     )  # k rows, k*dim ints — the driver-held state of the k-means loop
-    dists = ", ".join(
-        "aggregate(zip_with(qv, array({lits}), (x, y) -> (x - y) * (x - y)),"
-        " CAST(0 AS bigint), (a, x) -> a + x)".format(
-            lits=", ".join(f"{v}L" for v in row.qv)
-        )
-        for row in seeds
-    )
-    # two projections: materialize the k-distance array ONCE, then argmin
-    # over the column — HOFs are codegen-fallback, so CSE of a duplicated
-    # dists expression inside array_position/array_min is not guaranteed
-    return e.selectExpr("vec_id", "qv", f"array({dists}) AS dists").selectExpr(
-        "vec_id", "qv", "array_position(dists, array_min(dists)) - 1 AS cid"
+    seed_q = [list(row.qv) for row in seeds]
+
+    # Vectorized assignment (guide §4.2): the per-row interpreted
+    # aggregate(zip_with(...)) distance expressions (k*dim lambda evals
+    # per vector) become one NumPy pass; arithmetic is exact — the
+    # quantization floor(x*1000 + 0.5) is the identical IEEE double op
+    # sequence, distances are int64, and the strict `<` update reproduces
+    # array_position's first-minimum (ties to the LOWEST cid). Map-only:
+    # no exchange added, so km01's single-Exchange plan contract holds.
+    def assign(it):
+        import numpy as np
+
+        c = np.asarray(seed_q, dtype=np.int64)  # (k, dim)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qv = np.floor(x * float(_KM_SCALE) + 0.5).astype(np.int64)
+            best_d = None
+            best_c = None
+            for k in range(c.shape[0]):
+                diff = qv - c[k]
+                d = (diff * diff).sum(axis=1)
+                if best_d is None:
+                    best_d = d
+                    best_c = np.zeros(len(d), dtype=np.int64)
+                else:
+                    upd = d < best_d
+                    best_d = np.where(upd, d, best_d)
+                    best_c = np.where(upd, np.int64(k), best_c)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "qv": list(qv),
+                "cid": best_c,
+            })
+
+    return e_raw.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, qv array<bigint>, cid long"
     )
 
 
@@ -4456,51 +4540,79 @@ def _sim08_knn(spark: SparkSession, sf: str) -> DataFrame:
     identical to the old plan: the dot accumulates column-by-column in
     float64 (acc = fl(acc + fl(x_j*y_j)), the exact left-fold the SQL
     lambda performed), rounding is _np_round6 (exact HALF_UP mirror),
-    and ranking sorts stably by (-cos, id) — ties to the lowest
-    neighbor id, as the old row_number() window did. Row-blocked so a
-    task's gram buffer stays ~B*n doubles regardless of cluster size."""
+    and ranking selects by k argmax passes (np.argmax returns the FIRST
+    maximum = lowest neighbor id on rounded-cos ties), as the old
+    row_number() window did. Work is split on (cid, vec_id mod B) so a
+    hot cluster spreads over many tasks instead of straggling on one:
+    each group scores only its OWN rows, gathering the full cluster's
+    columns from the worker-cached unit matrix + assignment checkpoints
+    (the per-task state the dd05 rescore already uses)."""
     import pandas as pd
 
-    asg = _km01_assigned(spark, sf).select("vec_id", "cid")
-    uv = _dd05_unit(spark, sf)
-    blocks = asg.join(uv, "vec_id").select("cid", "vec_id", "u")
+    asg = _checkpoint(
+        _km01_assigned(spark, sf).select("vec_id", "cid"),
+        "sim08_asg", key=f"sim08_asg:{_sfkey(sf)}",
+    )
+    asg_path = _CKPT_CACHE[f"sim08_asg:{_sfkey(sf)}"]
+    _dd05_unit(spark, sf)
+    unit_path = _CKPT_CACHE[f"dd05_unit:{_sfkey(sf)}"]
+    par = spark.sparkContext.defaultParallelism
+    nb = max(1, (par * 2) // _KM_K)  # row-blocks per cluster
+    # numbered repartition on the group key: the id rows are a few KB,
+    # so AQE's byte-based coalescing would fold the ~64 heavy groups
+    # onto 1-2 tasks; the grouped-map stage reuses this exact exchange
+    # (the q38 pattern)
+    blocks = asg.selectExpr(
+        "cid", f"pmod(vec_id, {nb}) AS blk", "vec_id"
+    ).repartition(par, "cid", "blk")
 
-    def knn_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    def knn_block(key, pdf):
         import numpy as np
 
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        ids = pdf["vec_id"].to_numpy()
-        n = len(ids)
+        ids, m = _load_unit_matrix(unit_path)
+        cid_arr = _load_assignment(asg_path, ids)
         empty = pd.DataFrame(
             {"id_a": pd.Series(dtype="int64"),
              "id_b": pd.Series(dtype="int64"),
              "cos_sim": pd.Series(dtype="float64")}
         )
+        members = np.nonzero(cid_arr == key[0])[0]  # ascending id order
+        n = len(members)
         if n < 2:
             return empty
-        U = np.stack(pdf["u"].to_numpy()).astype(np.float64, copy=False)
+        mem_ids = ids[members]
+        um = m[members]
+        rows_idx = np.searchsorted(
+            ids, np.sort(pdf["vec_id"].to_numpy())
+        )
+        ur = m[rows_idx]
+        # each row's own column position inside the cluster (self mask)
+        self_pos = np.searchsorted(mem_ids, ids[rows_idx])
         k = min(_MKNN_K, n - 1)
-        frames = [empty]
-        blk = 2048  # bounds the gram buffer at blk*n doubles
-        for lo in range(0, n, blk):
-            hi = min(lo + blk, n)
-            g = np.zeros((hi - lo, n))
-            t = np.empty_like(g)
-            for j in range(U.shape[1]):
-                # column-ordered accumulation == the SQL left-fold
-                np.multiply(U[lo:hi, j, None], U[None, :, j], out=t)
-                g += t
-            r = _np_round6(g)
-            r[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf  # no self
-            order = np.argsort(-r, axis=1, kind="stable")[:, :k]
-            frames.append(pd.DataFrame({
-                "id_a": np.repeat(ids[lo:hi], k),
-                "id_b": ids[order].ravel(),
-                "cos_sim": np.take_along_axis(r, order, axis=1).ravel(),
-            }))
-        return pd.concat(frames, ignore_index=True)
+        nr = len(rows_idx)
+        g = np.zeros((nr, n))
+        t = np.empty_like(g)
+        for j in range(m.shape[1]):
+            # column-ordered accumulation == the SQL left-fold
+            np.multiply(ur[:, j, None], um[None, :, j], out=t)
+            g += t
+        r = _np_round6(g)
+        rows = np.arange(nr)
+        r[rows, self_pos] = -np.inf  # no self
+        sel_ids = np.empty((nr, k), dtype=np.int64)
+        sel_cos = np.empty((nr, k))
+        for kk in range(k):
+            top = np.argmax(r, axis=1)
+            sel_ids[:, kk] = mem_ids[top]
+            sel_cos[:, kk] = r[rows, top]
+            r[rows, top] = -np.inf
+        return pd.DataFrame({
+            "id_a": np.repeat(ids[rows_idx], k),
+            "id_b": sel_ids.ravel(),
+            "cos_sim": sel_cos.ravel(),
+        })
 
-    knn = blocks.groupBy("cid").applyInPandas(
+    knn = blocks.groupBy("cid", "blk").applyInPandas(
         knn_block, "id_a long, id_b long, cos_sim double"
     )
     return _checkpoint(knn, "sim08_knn", key=f"sim08_knn:{_sfkey(sf)}")
