@@ -579,16 +579,38 @@ def _shingle_mat(spark: SparkSession, sf: str) -> DataFrame:
     signatures + Jaccard verify, dd03's inverted index is this exploded,
     dd16/dd17's per-source sets re-key it by source).
 
-    Stays in the JVM: a mapInPandas variant was measured SLOWER (~2x) —
-    the Arrow round-trip materializes every token and shingle as a
-    Python string object, which costs more than the interpreted zip_with
-    lambdas it replaced. The win here is the sharing, not the builder."""
-    d = _docs_par(spark, sf)
-    toks = _TOKS_SPARK.format(c="text")
+    Built by handing whole Arrow batches to DuckDB inside mapInArrow
+    (guide §4.2: vectorized native engine per batch beats interpreted
+    Catalyst HOF lambdas): the zip_with shingle expression is
+    interpreted per element in the JVM, and a round-6 A/B at 10x bench
+    scale measured the DuckDB builder 2x faster (5.6 s vs 10.9 s noop)
+    with an identical distinct-shingle set per doc (exceptAll diff 0 —
+    the SQL here IS the oracle's shingle CTE, so cross-engine shingle
+    parity is oracle-enforced). Strings stay Arrow-native end to end;
+    an earlier mapInPandas attempt was 2x SLOWER because it
+    materialized every token as a Python object. Element ORDER inside
+    one doc's array may differ from array_distinct's first-occurrence
+    order; every consumer is set-based (MIN over hashes, explode,
+    array_intersect sizes), so results are unchanged."""
+    d = _docs_par(spark, sf).select("doc_id", "text")
+    toks = _TOKS_DUCK.format(c="text")
+    shexpr = _SHINGLES_DUCK.format(t=toks)
+    sql = (
+        f"SELECT doc_id, sh FROM (SELECT doc_id, {shexpr} AS sh FROM _b) "
+        "WHERE len(sh) > 0"  # empty docs have no near-dup notion
+    )
+
+    def build(batches):
+        import duckdb
+        import pyarrow as pa
+
+        con = duckdb.connect()
+        for b in batches:
+            _b = pa.Table.from_batches([b])  # noqa: F841 (duckdb scan)
+            yield from con.execute(sql).fetch_arrow_table().to_batches()
+
     return _checkpoint(
-        d.selectExpr("doc_id", f"{toks} AS t")
-        .selectExpr("doc_id", f"{_SHINGLES_SPARK.format(t='t')} AS sh")
-        .filter(F.expr("size(sh) > 0")),  # empty docs have no near-dup notion
+        d.mapInArrow(build, "doc_id long, sh array<string>"),
         "dd02_sh", key=f"dd02_sh:{_sfkey(sf)}",
     )
 
@@ -626,13 +648,22 @@ def _dd02_candidates(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame
     sig = hvr.groupBy("doc_id").agg(*mins).select(
         "doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
     )
-    bands = sig.selectExpr(
-        "doc_id",
-        f"explode(transform(sequence(0, {NUM_BANDS - 1}),"
-        f" b -> concat(cast(b AS string), ':',"
-        f" md5(array_join(transform(slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}),"
-        f" x -> cast(x AS string)), '|')))))"
-        " AS band_key",
+    # checkpoint the tiny (doc_id, band_key) table: it feeds THREE
+    # subtrees (the hot-band count, the anti-join left side, and the
+    # self-join right side), and without materialization each one
+    # re-runs the md5 + 128-MIN signature pipeline — the sig pass was
+    # measured to run ~3x inside this builder (guide §2.4: share one
+    # computation instead of re-deriving it per consumer)
+    bands = _checkpoint(
+        sig.selectExpr(
+            "doc_id",
+            f"explode(transform(sequence(0, {NUM_BANDS - 1}),"
+            f" b -> concat(cast(b AS string), ':',"
+            f" md5(array_join(transform(slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}),"
+            f" x -> cast(x AS string)), '|')))))"
+            " AS band_key",
+        ),
+        "dd02_bands", key=f"dd02_bands:{_sfkey(sf)}",
     )
     hot = (
         bands.groupBy("band_key").agg(F.count("*").alias("n"))
@@ -666,8 +697,20 @@ def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     joins shingle sets back by doc_id (co-partitioned equi-joins), never a
     full cross product."""
     cand, mat = _dd02_candidates(spark, sf)
-    sa = mat.selectExpr("doc_id AS id_a", "sh AS sh_a")
-    sb = mat.selectExpr("doc_id AS id_b", "sh AS sh_b")
+    # semi-join reduction (guide §3.2): only docs that appear in a
+    # candidate pair need their shingle set shipped to the verify join —
+    # the banding typically selects a small fraction of the corpus, so
+    # pruning `mat` first cuts the heavy array-column shuffle ~10x; the
+    # id list is pair-scale, so AQE broadcasts it when small and falls
+    # back to a keyed semi-join at scale (no false negatives: pruning
+    # only removes rows the inner join could never match).
+    ids = (
+        cand.selectExpr("id_a AS doc_id")
+        .union(cand.selectExpr("id_b AS doc_id")).distinct()
+    )
+    matc = mat.join(ids, "doc_id", "left_semi")
+    sa = matc.selectExpr("doc_id AS id_a", "sh AS sh_a")
+    sb = matc.selectExpr("doc_id AS id_b", "sh AS sh_b")
     return (
         cand.join(sa, "id_a").join(sb, "id_b")
         .selectExpr(
