@@ -50,50 +50,80 @@ def largestar_components(
     Returns DataFrame[doc_id, group_rep] with group_rep = min reachable id,
     covering every node that appears in `pairs`.
     """
+    from pyspark.sql import Observation
+
+    def _observed_ckpt(e: DataFrame, tag: str) -> tuple[DataFrame, tuple]:
+        """Checkpoint the edge set AND collect its convergence stats in
+        the SAME write job via Observation — the stats used to be a
+        separate action re-scanning the fresh checkpoint, i.e. one extra
+        Spark job per round of a driver loop whose cost at bench scale
+        is almost entirely per-job overhead. bit_xor(xxhash64):
+        order-independent, overflow-free, exact over a DISTINCT edge set
+        (no duplicate self-cancellation). Only safe for tags the
+        checkpoint fn NEVER serves from a session cache (the per-round
+        tags): a cache hit would skip the write and leave obs.get
+        blocking forever."""
+        obs = Observation(tag)
+        out = checkpoint(
+            e.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+            ),
+            tag,
+        )
+        return out, (obs.get["n"], obs.get["h"])
+
+    # cc_edges may be served from a keyed session cache by the caller's
+    # checkpoint fn, so its stats stay a separate (one-off) action
     edges = checkpoint(
         pairs.selectExpr("id_b AS a", "id_a AS b").distinct(), "cc_edges"
     )
-
-    def _stats(e: DataFrame) -> tuple:
-        # bit_xor: order-independent, overflow-free (ANSI-safe), and exact
-        # over a DISTINCT edge set (no duplicate self-cancellation)
-        row = e.agg(
-            F.count("*").alias("n"), F.bit_xor(F.xxhash64("a", "b")).alias("h")
-        ).first()
-        return (row.n, row.h)
-
-    prev = _stats(edges)
+    row = edges.agg(
+        F.count("*").alias("n"), F.bit_xor(F.xxhash64("a", "b")).alias("h")
+    ).first()
+    prev = (row.n, row.h)
     rounds = 0
+    from pyspark.sql import Window
+
     for _round in range(max_rounds):
+        # One LINEAR pipeline per round — a single Spark job. The
+        # groupBy-min + equi-join formulation of each half-round
+        # consumed its input twice (aggregate side + probe side), which
+        # forced a mid-round checkpoint of `large` and made every round
+        # two write jobs + one stats job; at bench scale the loop cost
+        # was almost pure per-job overhead. A min window over the same
+        # partition key computes the identical m per group in one pass
+        # (same shuffle bytes, no join), and the small-star's two
+        # emissions ((b, m) when b<>m, plus (a, m)) come out of one
+        # explode so nothing is consumed twice. Duplicate emissions are
+        # absorbed by the final distinct exactly as before.
+        #
         # large-star: u connects every LARGER neighbor to m = min(N(u)∪{u})
         sym = edges.selectExpr("a AS u", "b AS v").unionByName(
             edges.selectExpr("b AS u", "a AS v")
         )
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
         large = (
-            sym.filter("v > u").join(mins, "u")
+            sym.withColumn(
+                "m", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+            )
+            .filter("v > u")
             .selectExpr("v AS a", "m AS b").filter("a <> b")
         )
         # small-star: u connects every SMALLER neighbor and itself to
         # m = min(N<(u) ∪ {u}); input is already (a, b) with b < a.
-        # No dedup between the stars: duplicate emissions are absorbed by
-        # the min-aggregate and the final distinct — one less shuffle.
-        # `large` is consumed TWICE below (the min aggregate and the join
-        # probe side); materialize it once so the large-star subtree isn't
-        # recomputed inside the round's checkpoint job.
-        le = checkpoint(large, f"cc_large_{_round}")
-        minsle = le.groupBy("a").agg(F.min("b").alias("m"))
         small = (
-            le.join(minsle, "a").filter("b <> m")
-            .selectExpr("b AS a", "m AS b")
-            .unionByName(minsle.selectExpr("a", "m AS b"))
+            large.withColumn("m", F.min("b").over(Window.partitionBy("a")))
+            .selectExpr(
+                "explode(CASE WHEN b <> m"
+                " THEN array(struct(b AS s, m AS t), struct(a AS s, m AS t))"
+                " ELSE array(struct(a AS s, m AS t)) END) AS e"
+            )
+            .selectExpr("e.s AS a", "e.t AS b")
             .filter("a <> b")
         )
-        edges = checkpoint(small.distinct(), f"cc_star_{_round}")
+        edges, cur = _observed_ckpt(small.distinct(), f"cc_star_{_round}")
         rounds += 1
-        cur = _stats(edges)
         if cur == prev:
             break
         prev = cur
