@@ -14,13 +14,16 @@ import re
 import pandas as pd
 
 _TOK_RE = re.compile(r"[^a-z0-9]+")
+_TOK_FIND_RE = re.compile(r"[a-z0-9]+")
 _MAX_TOKENS = 200
 _L_BI, _L_UNI, _L_UNIF = 0.7, 0.25, 0.05
 
 
 def tokenize(text: str) -> list[str]:
-    """THE canonical tokenization — shared with rules, oracle, and dedup."""
-    return [t for t in _TOK_RE.split(text.lower()) if t]
+    """THE canonical tokenization — shared with rules, oracle, and dedup.
+    findall of the token class == split-on-complement minus empties
+    (identical list for every input), ~1.5x faster."""
+    return _TOK_FIND_RE.findall(text.lower())
 
 
 class PerplexityModel:

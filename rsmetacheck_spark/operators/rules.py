@@ -29,8 +29,12 @@ def url_host(url: Column) -> Column:
     return F.regexp_extract(url, r"^https?://([^/]+)", 1)
 
 
-def boilerplate_hit(text: Column) -> Column:
-    low = F.lower(text)
+def boilerplate_hit(text: Column, lowered: bool = False) -> Column:
+    """`lowered=True` means `text` is ALREADY lowercased (a named
+    column): without it, Catalyst inlines `lower(text)` into every
+    phrase's instr, lowercasing the full text |PHRASES| times per row —
+    measured seconds per million docs in the verdict stage."""
+    low = text if lowered else F.lower(text)
     hit = F.lit(False)
     for p in TH.BOILERPLATE_PHRASES:
         hit = hit | (F.instr(low, p) > 0)
@@ -44,7 +48,12 @@ def rule_metrics(c: dict[str, Column]) -> dict[str, tuple[Column, Column]]:
     dup_ngram_frac, bullet_frac, ellipsis_frac).
     """
     nw = c["n_words"]
-    boiler = boilerplate_hit(c["extracted_text"])
+    # prefer a caller-materialized lowered-text column (verdicts.py names
+    # one) so the lowercase pass runs once per row, not once per phrase
+    if "__lowtext" in c:
+        boiler = boilerplate_hit(c["__lowtext"], lowered=True)
+    else:
+        boiler = boilerplate_hit(c["extracted_text"])
     return {
         "R001_doc_length": (
             nw.cast("double"), (nw < TH.MIN_WORDS) | (nw > TH.MAX_WORDS)

@@ -30,8 +30,15 @@ def with_findings(df: DataFrame) -> DataFrame:
     cols = {name: F.col(name) for name in df.columns}
     # the model stage emits extracted_text SPARSELY (null == identical to
     # scrubbed_text); rules that read the raw text get the restored value
+    lowtext = None
     if "extracted_text" in cols and "scrubbed_text" in cols:
         cols["extracted_text"] = F.coalesce("extracted_text", "scrubbed_text")
+        # boilerplate scans a LOWERED copy of the text per phrase; name
+        # it once (attribute refs are not re-inlined, see module doc) so
+        # the row pays one lowercase pass instead of |PHRASES|
+        lowtext = F.lower(cols["extracted_text"])
+        df = df.withColumn("__lowtext", lowtext)
+        cols["__lowtext"] = F.col("__lowtext")
     metrics = R.rule_metrics(cols)
 
     metric_cols, hit_cols = {}, {}
@@ -72,4 +79,7 @@ def with_findings(df: DataFrame) -> DataFrame:
         dropped = dropped | h
     df = df.withColumn("findings", F.array(*finding_structs))
     df = df.withColumn("keep", ~dropped)
-    return df.drop(*metric_cols.keys(), *hit_cols.keys())
+    drop_helpers = list(metric_cols.keys()) + list(hit_cols.keys())
+    if lowtext is not None:
+        drop_helpers.append("__lowtext")
+    return df.drop(*drop_helpers)

@@ -3520,7 +3520,7 @@ def dc01_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
     corpus size, then a bounded per-source count. The exact audit column
     is test-scale only — at production it is dropped (it is the
     COUNT(DISTINCT) the sketch replaces)."""
-    d = _t(spark, sf, "documents")
+    d = _docs_par(spark, sf)
     w = _lc_width()
     b = d.selectExpr(
         "source",
@@ -3530,17 +3530,18 @@ def dc01_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
         f"CAST(conv(substr(h, 1, {w}), 16, 10) AS bigint) % {_LC_M} AS bucket",
         "h",
     )
-    used = (
-        b.groupBy("source", "bucket").agg(F.lit(1).alias("one"))
-        .groupBy("source").agg(F.count("*").alias("n_used"))
-    )
-    stats = b.groupBy("source").agg(
+    # ONE aggregation pass: the previous two-level groupBy for n_used
+    # plus a second stats aggregate re-ran the md5 projection over the
+    # corpus twice and paid a join to glue them back (guide §2.4).
+    # count(DISTINCT bucket) == the two-level form, and Spark's Expand
+    # runs over the projected (source, bucket, h) rows — the text never
+    # flows past the scan — with partial aggregation still capping
+    # per-partition output at sources × m (+ distinct h at test scale).
+    return b.groupBy("source").agg(
         F.count("*").alias("n_rows"),
+        F.countDistinct("bucket").alias("n_used"),
         F.countDistinct("h").alias("n_distinct"),
-    )
-    return stats.join(used, "source").select(
-        "source", "n_rows", "n_used", "n_distinct"
-    )
+    ).select("source", "n_rows", "n_used", "n_distinct")
 
 
 def _sql_dc01() -> str:
