@@ -53,12 +53,31 @@ def _tok_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     session — dd12 consumes the counts (weighted Jaccard), dd15 the same
     column as tf weights, dd13 the key set (distinct tokens). One
     tokenize+explode+groupBy pass instead of three."""
-    d = _docs_par(spark, sf_dir)
-    toks = _TOKS_SPARK.format(c="text")
+    d = _docs_par(spark, sf_dir).select("doc_id", "text")
+    toks = _TOKS_DUCK.format(c="text")
+    # DuckDB-in-mapInArrow (guide §4.2, the _shingle_mat pattern): each
+    # input row is ONE whole document, so a per-batch GROUP BY
+    # (doc_id, tok) is already the final per-doc count — the JVM
+    # explode + groupBy shuffled the near-unreduced exploded token rows
+    # (partial aggregation cannot combine across partitions it never
+    # sees twice). This build is map-only: zero Exchange.
+    sql = (
+        "SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c "
+        f"FROM (SELECT doc_id, unnest({toks}) AS tok FROM _b) "
+        "GROUP BY doc_id, tok"
+    )
+
+    def build(batches):
+        import duckdb
+        import pyarrow as pa
+
+        con = duckdb.connect()
+        for b in batches:
+            _b = pa.Table.from_batches([b])  # noqa: F841 (duckdb scan)
+            yield from con.execute(sql).fetch_arrow_table().to_batches()
+
     return _checkpoint(
-        d.selectExpr("doc_id", f"explode({toks}) AS tok")
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c")),
+        d.mapInArrow(build, "doc_id long, tok string, c long"),
         "tok_counts", key=f"tok_counts:{_sfkey(sf_dir)}",
     )
 
@@ -684,6 +703,20 @@ def _dd02_candidates(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame
     return cand, mat
 
 
+def _cand_ids(cand: DataFrame) -> DataFrame:
+    """Distinct doc ids present in the candidate pair list — the
+    semi-join pruning key (guide §3.2) the verify-stage consumers
+    (dd02/dd12/dd13/dd15) use to avoid shuffling per-doc feature tables
+    for the ~90% of the corpus no candidate pair touches. Pruning only
+    removes rows the inner joins could never match, so results are
+    unchanged; AQE broadcasts the id list when it is small and falls
+    back to a keyed semi-join at scale."""
+    return (
+        cand.selectExpr("id_a AS doc_id")
+        .union(cand.selectExpr("id_b AS doc_id")).distinct()
+    )
+
+
 def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup candidate pairs via MinHash+LSH banding (128 hashes / 16
     bands — production parameters, threshold ~0.71), verified by exact
@@ -700,15 +733,8 @@ def dd02_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # semi-join reduction (guide §3.2): only docs that appear in a
     # candidate pair need their shingle set shipped to the verify join —
     # the banding typically selects a small fraction of the corpus, so
-    # pruning `mat` first cuts the heavy array-column shuffle ~10x; the
-    # id list is pair-scale, so AQE broadcasts it when small and falls
-    # back to a keyed semi-join at scale (no false negatives: pruning
-    # only removes rows the inner join could never match).
-    ids = (
-        cand.selectExpr("id_a AS doc_id")
-        .union(cand.selectExpr("id_b AS doc_id")).distinct()
-    )
-    matc = mat.join(ids, "doc_id", "left_semi")
+    # pruning `mat` first cuts the heavy array-column shuffle ~10x.
+    matc = mat.join(_cand_ids(cand), "doc_id", "left_semi")
     sa = matc.selectExpr("doc_id AS id_a", "sh AS sh_a")
     sb = matc.selectExpr("doc_id AS id_b", "sh AS sh_b")
     return (
@@ -4154,7 +4180,9 @@ def dd12_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     all-pairs; the shingle/signature checkpoint is shared, so running
     dd02 and dd12 together prices one index build)."""
     cand, _mat = _dd02_candidates(spark, sf)
-    tc = _tok_counts(spark, sf)
+    # token counts are consumed ONLY at candidate ids (both the inner
+    # min-sum and the totals) — semi-prune before the joins (guide §3.2)
+    tc = _tok_counts(spark, sf).join(_cand_ids(cand), "doc_id", "left_semi")
     tot = tc.groupBy("doc_id").agg(F.sum("c").alias("tot"))
     im = (
         cand.join(tc.selectExpr("doc_id AS id_a", "tok", "c AS c_a"), "id_a")
@@ -4308,8 +4336,12 @@ def dd13_containment(spark: SparkSession, sf: str) -> DataFrame:
     map-side combine, and per-doc distinct-token counts join back by id."""
     cand, _mat = _dd02_candidates(spark, sf)
     # distinct token sets = the key set of the shared per-doc token-count
-    # checkpoint (one tokenize pass serves dd12/dd13/dd15)
-    dt = _tok_counts(spark, sf).select("doc_id", "tok")
+    # checkpoint (one tokenize pass serves dd12/dd13/dd15), semi-pruned
+    # to candidate ids — the only rows the joins below can match
+    dt = (
+        _tok_counts(spark, sf).select("doc_id", "tok")
+        .join(_cand_ids(cand), "doc_id", "left_semi")
+    )
     n = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(dt.selectExpr("doc_id AS id_a", "tok"), "id_a")
@@ -4884,8 +4916,14 @@ def dd15_tfidf_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.select(F.count("*").alias("n_docs"))
+    # document frequency must stay GLOBAL (computed over the full tf
+    # above), but the weighted rows are only consumed at candidate ids
+    # (the dot join and the norms that re-join onto pairs) — semi-prune
+    # tf before the df join so the weighting join and the norm
+    # aggregation run over pair members only (guide §3.2)
     wt = (
-        tf.join(df_, "term")
+        tf.join(_cand_ids(cand), "doc_id", "left_semi")
+        .join(df_, "term")
         .crossJoin(F.broadcast(n))
         .selectExpr("doc_id", "term", "tf * ((n_docs * 1000) div (df + 1)) AS w")
     )
