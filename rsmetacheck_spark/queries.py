@@ -642,29 +642,49 @@ def _dd02_candidates(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame
 
     Classic minhash cost structure: ONE md5 per shingle -> 32-bit int,
     then NUM_HASHES cheap affine permutations (a_i*h + b_i) mod p. The
-    permutation mins run as 128 whole-stage-codegen'd MIN aggregates over
-    the EXPLODED (doc_id, shingle-hash) rows — map-side partial combine
-    shrinks the shuffle to one 128-int row per doc — instead of nested
-    array lambdas, which Catalyst interprets per element (~10x slower).
-    The input is explicitly repartitioned: a single small parquet file
-    would otherwise pin the whole signature computation to 1-2 tasks."""
+    permutation mins run as 128 DuckDB MIN aggregates per Arrow batch
+    (see the inline comment at sig_sql) — a map-only stage, since each
+    doc's shingles arrive as one row."""
     from .functions.hashing import BAND_CAP, NUM_BANDS, NUM_HASHES, ROWS_PER_BAND
 
-    d = _t(spark, sf, "documents")
-    toks = _TOKS_SPARK.format(c="text")
-    par = spark.sparkContext.defaultParallelism
     mat = _shingle_mat(spark, sf)  # one checkpointed pass; 3 consumers below
-    hvr = mat.selectExpr("doc_id", "explode(sh) AS s").selectExpr(
-        "doc_id",
-        "CAST(conv(substr(md5(s), 1, 8), 16, 10) AS bigint) % 2147483647 AS h",
+    # Signature build runs per Arrow batch in DuckDB (guide §4.2, the
+    # _tok_counts pattern): each doc's shingle array is one whole row,
+    # so a per-batch GROUP BY doc_id already yields the FINAL 128 mins —
+    # the JVM explode + 128-MIN groupBy shuffled ~unreduced exploded
+    # rows (one doc never spans two map partitions, so partial
+    # aggregation had nothing to combine). The md5->int expression is
+    # the oracle's own hv CTE (integer arithmetic, bitwise-identical
+    # mins); zero Exchange in this stage.
+    hexpr = (
+        "CAST(list_sum(list_transform(generate_series(1, 8),"
+        " j -> CAST(strpos('0123456789abcdef', substring(md5(s), CAST(j AS INTEGER), 1))"
+        " - 1 AS BIGINT) << ((8 - CAST(j AS INTEGER)) * 4))) AS BIGINT)"
+        " % 2147483647"
     )
-    mins = [
-        F.min(
-            ((2 * i + 1) * F.col("h") + (1000003 * i + 12345)) % 2147483647
-        ).alias(f"m{i}")
+    min_exprs = ", ".join(
+        f"MIN(({2 * i + 1} * h + {1000003 * i + 12345}) % 2147483647) AS m{i}"
         for i in range(NUM_HASHES)
-    ]
-    sig = hvr.groupBy("doc_id").agg(*mins).select(
+    )
+    sig_sql = (
+        f"WITH hv AS (SELECT doc_id, {hexpr} AS h"
+        " FROM (SELECT doc_id, unnest(sh) AS s FROM _b))"
+        f" SELECT doc_id, {min_exprs} FROM hv GROUP BY doc_id"
+    )
+
+    def sig_build(batches):
+        import duckdb
+        import pyarrow as pa
+
+        con = duckdb.connect()
+        for b in batches:
+            _b = pa.Table.from_batches([b])  # noqa: F841 (duckdb scan)
+            yield from con.execute(sig_sql).fetch_arrow_table().to_batches()
+
+    sig_schema = "doc_id long, " + ", ".join(
+        f"m{i} long" for i in range(NUM_HASHES)
+    )
+    sig = mat.mapInArrow(sig_build, sig_schema).select(
         "doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
     )
     # checkpoint the tiny (doc_id, band_key) table: it feeds THREE
@@ -1379,9 +1399,16 @@ def _dd05_unit(spark: SparkSession, sf: str) -> DataFrame:
     # file scans as ONE task, and every consumer of this checkpoint
     # (dd05 signatures, sim08 cluster blocks, sim04) inherits its file
     # count as map parallelism
-    e = _t(spark, sf, "embeddings").repartition(par, "vec_id").selectExpr(
-        "vec_id", "transform(embedding, x -> CAST(x AS double)) AS v"
-    ).selectExpr("vec_id", f"transform(v, x -> x / {norm}) AS u")
+    # name the norm BEFORE the divide-transform: inlined, the aggregate
+    # is re-evaluated inside the lambda for EVERY element (O(dim²)
+    # interpreted work per row); as an attribute ref it computes once
+    # per row — identical doubles, same division
+    e = (
+        _t(spark, sf, "embeddings").repartition(par, "vec_id")
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS double)) AS v")
+        .selectExpr("vec_id", "v", f"{norm} AS nrm")
+        .selectExpr("vec_id", "transform(v, x -> x / nrm) AS u")
+    )
     return _checkpoint(e, "dd05_unit", key=f"dd05_unit:{_sfkey(sf)}")
 
 
@@ -2390,8 +2417,12 @@ def q24_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
     t = d.selectExpr(f"{toks} AS t").filter(F.expr("size(t) >= 2"))
     big = (
         t.selectExpr(
-            "explode(transform(sequence(1, size(t) - 1),"
-            " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))) AS b"
+            # zip_with over two shifted slices, NOT transform(sequence,
+            # i -> element_at(...)): element_at is O(n) per access, so
+            # the transform form is O(n²) per doc (the _SHINGLES_SPARK
+            # lesson); identical pair list in identical order
+            "explode(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+            " (a, b) -> named_struct('w1', a, 'w2', b))) AS b"
         )
         .selectExpr("b.w1 AS w1", "b.w2 AS w2")
         .groupBy("w1", "w2")
@@ -5810,9 +5841,10 @@ def q56_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
         tt.filter("size(t) >= 2")
         .selectExpr(
             "doc_id",
-            "explode(transform(sequence(1, size(t) - 1),"
-            " i -> struct(element_at(t, i) AS w1,"
-            "             element_at(t, i + 1) AS w2))) AS b",
+            # zip_with slices, not element_at-per-index (O(n²)/doc) —
+            # same pair list, same order (the _SHINGLES_SPARK lesson)
+            "explode(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+            " (a, b) -> named_struct('w1', a, 'w2', b))) AS b",
         )
         .select("doc_id", "b.w1", "b.w2")
     )
@@ -6192,8 +6224,10 @@ def q61_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     )
     g2 = base.selectExpr(
         "doc_id",
-        "explode(transform(sequence(1, size(t) - 1),"
-        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) AS g",
+        # zip_with slices, not element_at-per-index (O(n²)/doc) — same
+        # gram list, same order (the _SHINGLES_SPARK lesson)
+        "explode(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+        " (a, b) -> concat(a, ' ', b))) AS g",
     )
     top2 = (
         g2.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
@@ -6680,18 +6714,45 @@ def dd16_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     from .functions.hashing import NUM_HASHES
 
     ss, sizes, inter = _dd16_sets(spark, sf)
-    hv = ss.selectExpr(
-        "source",
-        "CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS bigint) % 2147483647 AS h",
+    # per-source mins computed as PARTIAL per-batch DuckDB aggregates
+    # (the dd02 sig pattern; md5->int is the oracle's hv expression),
+    # then a tiny JVM min-of-mins per source: sources span batches, so
+    # unlike dd02 one JVM combine remains — over |sources| x #batches
+    # rows instead of the full exploded (source, shingle-hash) table.
+    hexpr = (
+        "CAST(list_sum(list_transform(generate_series(1, 8),"
+        " j -> CAST(strpos('0123456789abcdef', substring(md5(sh), CAST(j AS INTEGER), 1))"
+        " - 1 AS BIGINT) << ((8 - CAST(j AS INTEGER)) * 4))) AS BIGINT)"
+        " % 2147483647"
     )
-    mins = [
-        F.min(
-            ((2 * i + 1) * F.col("h") + (1000003 * i + 12345)) % 2147483647
-        ).alias(f"m{i}")
+    min_exprs = ", ".join(
+        f"MIN(({2 * i + 1} * h + {1000003 * i + 12345}) % 2147483647) AS m{i}"
         for i in range(NUM_HASHES)
-    ]
-    sig = hv.groupBy("source").agg(*mins).select(
-        "source", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
+    )
+    sig_sql = (
+        f"WITH hv AS (SELECT source, {hexpr} AS h FROM _b)"
+        f" SELECT source, {min_exprs} FROM hv GROUP BY source"
+    )
+
+    def sig_build(batches):
+        import duckdb
+        import pyarrow as pa
+
+        con = duckdb.connect()
+        for b in batches:
+            _b = pa.Table.from_batches([b])  # noqa: F841 (duckdb scan)
+            yield from con.execute(sig_sql).fetch_arrow_table().to_batches()
+
+    sig_schema = "source string, " + ", ".join(
+        f"m{i} long" for i in range(NUM_HASHES)
+    )
+    sig = (
+        ss.mapInArrow(sig_build, sig_schema)
+        .groupBy("source")
+        .agg(*[F.min(f"m{i}").alias(f"m{i}") for i in range(NUM_HASHES)])
+        .select(
+            "source", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
+        )
     )
     return (
         inter
