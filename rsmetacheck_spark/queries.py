@@ -82,17 +82,45 @@ def _tok_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOCS_PAR_BYTES = 256 << 10  # compressed bytes per target partition
+
+
 def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents with a PARALLELISM FLOOR for heavy per-row compute
-    (tokenize/regex/explode): the sf tables are single-row-group parquet
-    files, so a bare scan yields ONE task no matter the core count and
-    every downstream map-side pass serializes. One cheap hash exchange of
-    the raw rows restores corpus-wide parallelism; queries whose plans
-    are asserted shuffle-free (ev01-ev08, q33) deliberately do NOT use
-    this helper. At real scale the scan has thousands of splits and this
-    exchange is the usual pre-UDF repartition, not a bottleneck."""
+    """documents with a SIZE-ADAPTIVE parallelism floor for heavy
+    per-row compute (tokenize/regex/explode): the sf tables are
+    single-row-group parquet files, so a bare scan yields ONE task no
+    matter the core count and every downstream map-side pass serializes
+    at the scales where the map work dominates. The target partition
+    count is derived from the INPUT SIZE (guide §2: scale-adaptive, not
+    a constant tuned for one scale): ~256 KB compressed text per task,
+    capped at the core count. On a small corpus (sf0.1 and below) that
+    target collapses to <=2 and the exchange is SKIPPED entirely — an
+    unconditional repartition(cores) there costs more in shuffle +
+    task-scheduling than the single-task map pass it parallelizes
+    (measured: +0.5-1.3 s on each of ~10 tokenize-family queries at
+    sf0.1, while the same floor saves multi-second serialization at
+    sf1.0). Queries whose plans are asserted shuffle-free (ev01-ev08,
+    q33) deliberately do NOT use this helper. At real scale the scan has
+    thousands of splits, the cap engages, and this exchange is the
+    usual pre-UDF repartition."""
     par = spark.sparkContext.defaultParallelism
-    return _t(spark, sf_dir, "documents").repartition(par, "doc_id")
+    d = _t(spark, sf_dir, "documents")
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(p):
+            nbytes = sum(
+                os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
+            )
+        else:
+            nbytes = os.path.getsize(p)
+    except OSError:
+        nbytes = None
+    if nbytes is None:
+        return d.repartition(par, "doc_id")
+    target = min(par, nbytes // _DOCS_PAR_BYTES)
+    if target <= 2:
+        return d
+    return d.repartition(int(target), "doc_id")
 
 
 _CKPT_CACHE: dict[str, str] = {}
@@ -116,7 +144,9 @@ def _sfkey(sf_dir: str) -> str:
     return "|".join(parts)
 
 
-def _checkpoint(df: DataFrame, tag: str, key: str | None = None) -> DataFrame:
+def _checkpoint(
+    df: DataFrame, tag: str, key: str | None = None, rebalance: bool = False
+) -> DataFrame:
     """Materialize an intermediate to scratch parquet and read it back —
     the query-local analog of checkpointing to a bucketed scratch table.
     Replaces .cache() for plan branches that reuse expensive intermediates:
@@ -136,6 +166,15 @@ def _checkpoint(df: DataFrame, tag: str, key: str | None = None) -> DataFrame:
         return df.sparkSession.read.parquet(_CKPT_CACHE[key])
     path = tempfile.mkdtemp(prefix=f"rsmc_ckpt_{tag}_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
+    if rebalance:
+        # AQE REBALANCE before the write (guide §6): checkpoints written
+        # straight from a map stage inherit its partition count — a tiny
+        # table fanned over 30+ files makes EVERY consumer stage pay 30+
+        # scan tasks (measured: the 2k-row sim08 edge table as 30 files
+        # turned each g01-g04 stage into 60 tasks). Rebalance sizes the
+        # files by bytes (advisoryPartitionSizeInBytes), so a tiny table
+        # collapses to one file while a production-sized one stays split.
+        df = df.hint("rebalance")
     df.write.mode("overwrite").parquet(path)
     if key is not None:
         _CKPT_CACHE[key] = path
@@ -702,7 +741,7 @@ def _dd02_candidates(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame
             f" x -> cast(x AS string)), '|')))))"
             " AS band_key",
         ),
-        "dd02_bands", key=f"dd02_bands:{_sfkey(sf)}",
+        "dd02_bands", key=f"dd02_bands:{_sfkey(sf)}", rebalance=True,
     )
     hot = (
         bands.groupBy("band_key").agg(F.count("*").alias("n"))
@@ -719,7 +758,7 @@ def _dd02_candidates(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame
     # the candidate list is tiny but EXPENSIVE (md5 per shingle + 128 MIN
     # aggregates + banding self-join); five consumers re-derive it (dd02,
     # dd12, dd13, dd15, dd17), so checkpoint it like the shingle table
-    cand = _checkpoint(cand, "dd02_cand", key=f"dd02_cand:{_sfkey(sf)}")
+    cand = _checkpoint(cand, "dd02_cand", key=f"dd02_cand:{_sfkey(sf)}", rebalance=True)
     return cand, mat
 
 
@@ -3096,7 +3135,7 @@ def dd09_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
     # module-level _BLOOM_M override and must not reuse stale positions)
     ex = _checkpoint(
         docs.filter("NOT is_new").select("h", "pos"),
-        "dd09_ex", key=f"dd09_ex:{_sfkey(sf)}:{_BLOOM_M}",
+        "dd09_ex", key=f"dd09_ex:{_sfkey(sf)}:{_BLOOM_M}", rebalance=True,
     )
     bits = ex.selectExpr("explode(pos) AS pos").distinct()
     # single linear flow over the incoming side (one scan, h carried
@@ -4673,7 +4712,7 @@ def _sim08_knn(spark: SparkSession, sf: str) -> DataFrame:
 
     asg = _checkpoint(
         _km01_assigned(spark, sf).select("vec_id", "cid"),
-        "sim08_asg", key=f"sim08_asg:{_sfkey(sf)}",
+        "sim08_asg", key=f"sim08_asg:{_sfkey(sf)}", rebalance=True,
     )
     asg_path = _CKPT_CACHE[f"sim08_asg:{_sfkey(sf)}"]
     _dd05_unit(spark, sf)
@@ -4737,7 +4776,7 @@ def _sim08_knn(spark: SparkSession, sf: str) -> DataFrame:
     knn = blocks.groupBy("cid", "blk").applyInPandas(
         knn_block, "id_a long, id_b long, cos_sim double"
     )
-    return _checkpoint(knn, "sim08_knn", key=f"sim08_knn:{_sfkey(sf)}")
+    return _checkpoint(knn, "sim08_knn", key=f"sim08_knn:{_sfkey(sf)}", rebalance=True)
 
 
 def sim08_mutual_knn(spark: SparkSession, sf: str) -> DataFrame:
@@ -4835,7 +4874,7 @@ def _sim08_edges(spark: SparkSession, sf: str) -> DataFrame:
     return _checkpoint(
         sim08_mutual_knn(spark, sf).select("id_a", "id_b"),
         "sim08_edges",
-        key=f"sim08_edges:{_sfkey(sf)}",
+        key=f"sim08_edges:{_sfkey(sf)}", rebalance=True,
     )
 
 
