@@ -361,6 +361,12 @@ def st08_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     def side(prefix: str) -> DataFrame:
         return (
             spark.readStream.schema(schema)
+            # pin ONE micro-batch (the st01 discipline): across batches
+            # the watermark could evict join state between them and
+            # silently drop cross-batch pairs if the input ever became a
+            # multi-file directory — the batch-equality contract holds
+            # per-run-to-completion, not per-eviction-horizon
+            .option("maxFilesPerTrigger", 1_000_000)
             .parquet(_as_stream_dir(events_path))
             # parquet infers TIMESTAMP_NTZ; event-time ops need TIMESTAMP
             .selectExpr(
