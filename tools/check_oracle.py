@@ -99,9 +99,11 @@ def main() -> int:
             # divergence the driver sees), while Arrow surfaces it as
             # decimal128 — which norm_cell keeps distinct from int.
             tbl = rel.arrow()
-            drows = [
-                tuple(row[c] for c in dcols) for row in tbl.to_pylist()
-            ]
+            # POSITIONAL fetch (r5 advisor): to_pylist() indexes by
+            # column NAME, so duplicate output column names would
+            # silently collapse; zip the columns by position instead.
+            cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            drows = list(zip(*cols)) if cols else []
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             n_fail += 1
